@@ -1,0 +1,86 @@
+"""Differentiable-latency estimation for the NAS search.
+
+Reference: speed_models/speed_estimator.py. The reference's production path
+(``estimateByMyMask``, :56-76) is the analytic model
+
+    speed(block) = Σ_k (ch_split + 0.2 · ch_mask) · k² · alpha_k / 40   [ms]
+
+computed under ``torch.no_grad()`` — so gradients reach the alphas only through
+the block-skip beta2, not through this value. We reproduce that exactly by
+default (stop_gradient over the whole estimate) and offer
+``differentiable=True`` which uses STE channel counts and live alphas.
+
+Channel counts use ``rounding`` with the default least_channel=8 — including
+for the split gate whose *forward* uses least_channel=0. That asymmetry is the
+reference's behavior (``get_unmask_number`` → ``rounding(w)`` default,
+speed_models/speed_estimator.py:79-84) and is kept for parity.
+
+The measured-table path (`TableSpeedEstimator` + the MLP in speed_model.py)
+replaces the reference's mobile TFLite latency tables with tables produced by
+the on-TPU kernel timing harness (kernels/timing.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobilesuperresolution_tpu.ops.ste import binary_mask, rounding
+
+KERNEL_CHOICES = (3, 5, 7)
+
+
+def analytic_block_speed(ch_mask, ch_split, kernel):
+    """(ch_split + 0.2*ch_mask) * k^2 / 40 — speed_estimator.py:41-42,74-76."""
+    return (ch_split + 0.2 * ch_mask) * (kernel * kernel) / 40.0
+
+
+def block_speed_from_gates(mask_w, split_w, alpha, differentiable=False):
+    """Per-block latency estimate from the gate parameters (scalar, ms)."""
+    if differentiable:
+        ch0 = jnp.sum(binary_mask(mask_w, least_channel=8))
+        ch1 = jnp.sum(binary_mask(split_w, least_channel=8))
+        a = alpha
+    else:
+        ch0 = jax.lax.stop_gradient(jnp.sum(rounding(mask_w, 8)))
+        ch1 = jax.lax.stop_gradient(jnp.sum(rounding(split_w, 8)))
+        a = jax.lax.stop_gradient(alpha)
+    ks = jnp.asarray(KERNEL_CHOICES, jnp.float32)
+    speeds = analytic_block_speed(ch0, ch1, ks)  # (3,)
+    out = jnp.sum(speeds * a)
+    if not differentiable:
+        out = jax.lax.stop_gradient(out)
+    return out
+
+
+def get_ori_speed(num_blocks=4, num_residual_units=12):
+    """Supernet baseline speed: num_blocks × analytic block speed at k=7 with
+    all channels active (speed_models/helpers.py:5-15 via
+    estimateByChannelNum([units, units, 7]))."""
+    block = analytic_block_speed(num_residual_units, num_residual_units, 7)
+    return float(num_blocks * block)
+
+
+class TableSpeedEstimator:
+    """Nearest-config lookup over a measured latency table.
+
+    Table rows are (ch_in, ch_split, kernel, latency_ms) — the same schema the
+    reference's parsed mobile benchmarks use
+    (speed_models/speed_data/data_generate_from_txt.py:83); here the rows come
+    from the on-TPU timing harness.
+    """
+
+    def __init__(self, rows):
+        rows = np.asarray(rows, dtype=np.float32)
+        if rows.ndim != 2 or rows.shape[1] != 4:
+            raise ValueError("expected (N, 4) latency table")
+        self.configs = rows[:, :3]
+        self.latencies = rows[:, 3]
+
+    def __call__(self, ch_mask, ch_split, kernel):
+        q = np.asarray([ch_mask, ch_split, kernel], dtype=np.float32)
+        d = np.sum((self.configs - q) ** 2, axis=1)
+        return float(self.latencies[np.argmin(d)])
+
+    @classmethod
+    def load(cls, path):
+        return cls(np.load(path))

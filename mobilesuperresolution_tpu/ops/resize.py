@@ -1,0 +1,79 @@
+"""Bilinear resize with exact PyTorch ``F.interpolate`` semantics, as dense
+per-dimension matmuls (MXU-friendly, precomputed per (in, out) size).
+
+The reference mixes both conventions:
+- align_corners=True for SpyNet flow upsampling (models/spynet_arch.py:65)
+- align_corners=False for frame resizes and the bilinear eval baseline
+  (models/basicvsr_arch.py:98-99, utils/estimate.py)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def linear_resize_matrix(in_len, out_len, align_corners=False, dtype=np.float32):
+    """(out, in) interpolation matrix matching torch's upsample_bilinear2d."""
+    m = np.zeros((out_len, in_len), dtype=np.float64)
+    if out_len == 1:
+        # torch picks src 0 for both conventions when out == 1
+        m[0, 0] = 1.0
+        return m.astype(dtype)
+    dst = np.arange(out_len, dtype=np.float64)
+    if align_corners:
+        src = dst * (in_len - 1) / (out_len - 1)
+    else:
+        src = np.maximum(0.0, (dst + 0.5) * in_len / out_len - 0.5)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.minimum(i0, in_len - 1)
+    i1 = np.minimum(i0 + 1, in_len - 1)
+    w1 = src - i0
+    w0 = 1.0 - w1
+    np.add.at(m, (np.arange(out_len), i0), w0)
+    np.add.at(m, (np.arange(out_len), i1), w1)
+    return m.astype(dtype)
+
+
+@functools.lru_cache(maxsize=512)
+def _matrices(in_hw, out_hw, align_corners, dtype_name):
+    mh = jnp.asarray(
+        linear_resize_matrix(in_hw[0], out_hw[0], align_corners), dtype=dtype_name
+    )
+    mw = jnp.asarray(
+        linear_resize_matrix(in_hw[1], out_hw[1], align_corners), dtype=dtype_name
+    )
+    return mh, mw
+
+
+def resize_bilinear(x, out_hw, align_corners=False):
+    """x: (..., H, W, C) → (..., out_h, out_w, C)."""
+    in_hw = (x.shape[-3], x.shape[-2])
+    out_hw = tuple(int(s) for s in out_hw)
+    if in_hw == out_hw:
+        return x
+    mh, mw = _matrices(in_hw, out_hw, bool(align_corners), np.dtype(x.dtype).name)
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("oh,...hwc->...owc", mh, x, precision=hi)
+    x = jnp.einsum("ow,...hwc->...hoc", mw, x, precision=hi)
+    return x
+
+
+def avg_pool_2x2(x):
+    """2x2 stride-2 average pool on (..., H, W, C) with even H, W (the SpyNet
+    pyramid sizes are multiples of 32 so no padding ever occurs —
+    count_include_pad is irrelevant)."""
+    h, w = x.shape[-3], x.shape[-2]
+    lead = x.shape[:-3]
+    x = x.reshape(*lead, h // 2, 2, w // 2, 2, x.shape[-1])
+    return x.mean(axis=(-4, -2))
+
+
+def replicate_pad_hw(x, pad_bottom=0, pad_right=0):
+    """Replicate-pad the spatial dims of (..., H, W, C)."""
+    if pad_bottom:
+        x = jnp.concatenate([x] + [x[..., -1:, :, :]] * pad_bottom, axis=-3)
+    if pad_right:
+        x = jnp.concatenate([x] + [x[..., :, -1:, :]] * pad_right, axis=-2)
+    return x

@@ -1,0 +1,61 @@
+"""Metric-recipe parity tests (reference recipes: common/metrics.py:10-68)."""
+
+import numpy as np
+import pytest
+
+from mobilesuperresolution_tpu.metrics import psnr, psnr_y, ssim, ssim_np
+
+
+@pytest.fixture
+def pair(rng):
+    hr = rng.random((2, 40, 44, 3)).astype(np.float32)
+    sr = np.clip(hr + 0.05 * rng.standard_normal(hr.shape).astype(np.float32), 0, 1)
+    return sr, hr
+
+
+def _psnr_ref(sr, hr, shave=4):
+    # Independent float64 re-derivation of the reference formula.
+    sr = np.clip(np.around(sr.astype(np.float64) * 255), 0, 255) / 255
+    diff = (sr - hr.astype(np.float64))[:, shave:-shave, shave:-shave, :]
+    mse = (diff**2).mean(axis=(1, 2, 3))
+    return (-10 * np.log10(mse)).sum()
+
+
+def test_psnr_matches_reference_formula(pair):
+    sr, hr = pair
+    got = float(psnr(sr, hr, shave=4))
+    want = _psnr_ref(sr, hr, 4)
+    assert abs(got - want) < 1e-3
+
+
+def test_psnr_identical_images_is_large(pair):
+    _, hr = pair
+    q = np.around(hr * 255) / 255  # already on the grid
+    assert float(psnr(q.astype(np.float32), q.astype(np.float32))) > 2 * 60
+
+
+def test_psnr_y_uses_unquantized_clamped_sr(pair):
+    """The reference's psnr_y quantizes into an unused variable and compares the
+    merely-clamped SR (common/metrics.py:24-25) — keep that exact behavior."""
+    sr, hr = pair
+    w = np.array([0.257, 0.504, 0.098])
+    diff = (np.clip(sr, 0, 1).astype(np.float64) - hr) @ w
+    diff = diff[:, 4:-4, 4:-4]
+    mse = (diff**2).mean(axis=(1, 2))
+    want = (-10 * np.log10(mse)).sum()
+    assert abs(float(psnr_y(sr, hr)) - want) < 1e-3
+
+
+def test_ssim_jnp_matches_numpy_float64(pair):
+    sr, hr = pair
+    a = float(ssim(sr[0], hr[0]))
+    b = ssim_np(sr[0], hr[0])
+    assert abs(a - b) < 1e-4
+
+
+def test_ssim_bounds(pair):
+    sr, hr = pair
+    v = float(ssim(sr[0], hr[0]))
+    assert 0.0 < v <= 1.0
+    same = np.around(hr[0] * 255) / 255
+    assert ssim_np(same, same) > 0.9999

@@ -1,0 +1,121 @@
+"""Op-level parity tests: STE gradients, flow_warp vs torch.grid_sample,
+bilinear resize vs torch.F.interpolate, depth_to_space vs torch PixelShuffle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from mobilesuperresolution_tpu.ops import (
+    avg_pool_2x2,
+    binary_mask,
+    condition,
+    depth_to_space,
+    flow_warp,
+    mask_active_count,
+    resize_bilinear,
+    rounding,
+)
+
+
+class TestSTE:
+    def test_rounding_basic(self):
+        w = jnp.asarray([0.9, 0.6, 0.4, 0.51, 0.1, 0.8, 0.7, 0.55, 0.52, 0.77])
+        out = np.asarray(rounding(w, least_channel=3))
+        np.testing.assert_array_equal(out, (np.asarray(w) >= 0.5).astype(np.float32))
+
+    def test_rounding_least_channel_floor(self):
+        w = jnp.asarray([0.1, 0.2, 0.3, 0.45, 0.05])
+        out = np.asarray(rounding(w, least_channel=3))
+        # top-3 values 0.45, 0.3, 0.2 survive
+        np.testing.assert_array_equal(out, [0.0, 1.0, 1.0, 1.0, 0.0])
+
+    def test_binary_mask_gradient_is_identity(self):
+        w = jnp.asarray([0.9, 0.6, 0.4, 0.2, 0.8, 0.3, 0.7, 0.55])
+        g = jax.grad(lambda w: jnp.sum(binary_mask(w, 2) * jnp.arange(8.0)))(w)
+        np.testing.assert_allclose(np.asarray(g), np.arange(8.0), atol=1e-6)
+
+    def test_condition_forward(self):
+        b1, b2 = condition(jnp.asarray(0.7), jnp.asarray(0.3))
+        assert float(b1) == 1.0 and float(b2) == 0.0
+        b1, b2 = condition(jnp.asarray(0.1), jnp.asarray(0.3))
+        assert float(b1) == 0.0 and float(b2) == 1.0
+
+    def test_condition_straight_through_grads(self):
+        """Matches torch.autograd.gradcheck semantics of ConditionFunction
+        (models/wdsr_b.py:594-616): d beta_i / d alpha_i = 1."""
+
+        def f(a1, a2):
+            b1, b2 = condition(a1, a2)
+            return 3.0 * b1 + 5.0 * b2
+
+        g1, g2 = jax.grad(f, argnums=(0, 1))(jnp.asarray(0.9), jnp.asarray(0.1))
+        assert float(g1) == 3.0 and float(g2) == 5.0
+
+    def test_mask_active_count(self):
+        w = jnp.asarray([0.9, 0.6, 0.4, 0.2] * 6)
+        assert float(mask_active_count(w)) == 12.0
+
+
+class TestFlowWarp:
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+    def test_matches_torch_grid_sample(self, rng, padding_mode):
+        n, h, w, c = 2, 13, 17, 4
+        x = rng.standard_normal((n, h, w, c)).astype(np.float32)
+        flow = (3.0 * rng.standard_normal((n, h, w, 2))).astype(np.float32)
+
+        got = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow), padding_mode))
+
+        # torch reference: identical math to models/spynet_arch.py:114-126
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        gy, gx = torch.meshgrid(torch.arange(h).float(), torch.arange(w).float(), indexing="ij")
+        grid = torch.stack((gx, gy), 2)
+        vgrid = grid[None] + torch.from_numpy(flow)
+        vx = 2.0 * vgrid[..., 0] / max(w - 1, 1) - 1.0
+        vy = 2.0 * vgrid[..., 1] / max(h - 1, 1) - 1.0
+        want = F.grid_sample(
+            xt,
+            torch.stack((vx, vy), dim=3),
+            mode="bilinear",
+            padding_mode=padding_mode,
+            align_corners=True,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_zero_flow_is_identity(self, rng):
+        x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+        out = np.asarray(flow_warp(jnp.asarray(x), jnp.zeros((1, 8, 8, 2), np.float32)))
+        np.testing.assert_allclose(out, x, atol=1e-6)
+
+
+class TestResize:
+    @pytest.mark.parametrize("align_corners", [True, False])
+    @pytest.mark.parametrize("sizes", [((16, 20), (32, 40)), ((32, 40), (16, 20)), ((15, 17), (31, 35)), ((24, 24), (1080 // 24, 33))])
+    def test_matches_torch_interpolate(self, rng, align_corners, sizes):
+        (h, w), (oh, ow) = sizes
+        x = rng.standard_normal((2, h, w, 3)).astype(np.float32)
+        got = np.asarray(resize_bilinear(jnp.asarray(x), (oh, ow), align_corners))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.interpolate(
+            xt, size=(oh, ow), mode="bilinear", align_corners=align_corners
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_avg_pool_matches_torch(self, rng):
+        x = rng.standard_normal((2, 16, 24, 5)).astype(np.float32)
+        got = np.asarray(avg_pool_2x2(jnp.asarray(x)))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.avg_pool2d(xt, 2, 2).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestDepthToSpace:
+    def test_matches_torch_pixel_shuffle(self, rng):
+        r = 2
+        x = rng.standard_normal((2, 5, 7, 3 * r * r)).astype(np.float32)
+        got = np.asarray(depth_to_space(jnp.asarray(x), r))
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        want = F.pixel_shuffle(xt, r).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-6)
