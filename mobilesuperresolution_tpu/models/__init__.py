@@ -1,0 +1,85 @@
+"""Model registry.
+
+Replaces the reference's ``eval(params.model_type)`` dispatch
+(models/__init__.py:31-32) and the VSR entry points' if-chains
+(train_video_superresolution.py:243-253) with a registry dict
+(SURVEY §7.4 fidelity decision).
+"""
+
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.models.wdsr_basic import BasicModel
+from mobilesuperresolution_tpu.models.wdsr_nas import (
+    NASModel,
+    get_block_status,
+    get_current_blocks,
+    get_width_from_block_idx,
+)
+from mobilesuperresolution_tpu.models.result_net import ResultNet
+from mobilesuperresolution_tpu.models.spynet import SpyNet
+from mobilesuperresolution_tpu.models.basicvsr import BasicVSR, BasicVSROrigin
+from mobilesuperresolution_tpu.models.mvvsr import MotionVectorVSR
+from mobilesuperresolution_tpu.models.single_image import SingleImageModel
+from mobilesuperresolution_tpu.models.naive_multi import NaiveMultiModel
+
+
+def update_argparser(parser):
+    """SISR model flags (reference models/__init__.py:9-29). The clip_*
+    quantization flags are parsed-but-unused in the reference and are omitted."""
+    parser.add_argument("--model_type", default="BASIC_MODEL", type=str)
+    parser.add_argument("--num_blocks", default=16, type=int)
+    parser.add_argument("--num_residual_units", default=24, type=int)
+    parser.add_argument("--width_search", action="store_true")
+    parser.add_argument("--pretrained", action="store_true")
+    parser.set_defaults(image_mean=0.5, num_channels=3)
+
+
+def get_model(params):
+    """Build the SISR model named by params.model_type ('BASIC_MODEL' or
+    'NAS_MODEL')."""
+    dtype = jnp.bfloat16 if getattr(params, "bf16", False) else jnp.float32
+    common = dict(
+        num_blocks=params.num_blocks,
+        num_residual_units=params.num_residual_units,
+        scale=params.scale,
+        num_channels=getattr(params, "num_channels", 3),
+        image_mean=getattr(params, "image_mean", 0.5),
+        compute_dtype=dtype,
+    )
+    if params.model_type == "BASIC_MODEL":
+        return BasicModel(**common)
+    if params.model_type == "NAS_MODEL":
+        return NASModel(
+            width_search=getattr(params, "width_search", True),
+            differentiable_speed=getattr(params, "differentiable_speed", False),
+            **common,
+        )
+    raise KeyError(f"unknown SISR model_type {params.model_type!r}")
+
+
+def get_vsr_model(model_type, scale=4, block_index_path=None, compute_dtype=jnp.float32):
+    """Build a VSR model by type string ('single' | 'multi' | 'basic' |
+    'basic_mv' | 'basic_origin'), with the reference's canonical sizes
+    (train_video_superresolution.py:243-253,
+    test_video_superresolution.py:222-235)."""
+    if model_type == "single":
+        return SingleImageModel(
+            scale=scale, channel=32, blocks=8, kernel=3, compute_dtype=compute_dtype
+        )
+    if model_type == "multi":
+        if block_index_path is None:
+            raise ValueError("'multi' needs block_index_path (search artifact)")
+        return NaiveMultiModel.from_artifact(
+            block_index_path, scale=scale, compute_dtype=compute_dtype
+        )
+    if model_type == "basic":
+        return BasicVSR(num_feat=24, num_block=8, scale=scale, compute_dtype=compute_dtype)
+    if model_type == "basic_mv":
+        return MotionVectorVSR(
+            num_feat=20, num_block=8, scale=scale, compute_dtype=compute_dtype
+        )
+    if model_type == "basic_origin":
+        return BasicVSROrigin(
+            num_feat=64, num_block=30, scale=scale, compute_dtype=compute_dtype
+        )
+    raise KeyError(f"unknown VSR model_type {model_type!r}")

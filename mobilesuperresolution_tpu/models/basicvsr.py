@@ -1,0 +1,206 @@
+"""BasicVSR-style bidirectional recurrent video SR.
+
+Reference: models/basicvsr_arch.py (mobile-modified) and
+models/basicvsr_arch_origin.py (faithful BasicVSR). TPU-native redesign:
+
+- The two temporal recurrences are ``lax.scan``s (via ``nn.scan`` with
+  broadcast params) with a resident ``feat_prop`` carry — O(1) memory in T and
+  one compiled step regardless of clip length.
+- Both flow directions are computed in ONE batched SpyNet call
+  (2·B·(T-1) images) instead of the reference's two sequential calls.
+- The per-frame reconstruction (fusion → upsample → +base) has no temporal
+  dependency, so it runs batched over B·T after the scans.
+- The first step of each scan warps the all-zeros initial carry, which is a
+  no-op — this replaces the reference's Python ``if i < n-1`` branch with
+  branch-free code (warp(0, anything) = 0).
+
+Mobile-modified reconstruction quirk: the reference's ``conv_last`` maps
+2·nf → nf channels and then adds the 3-channel base
+(models/basicvsr_arch.py:36,96-100), which cannot broadcast — its sibling
+``mvvsr_arch.py:37`` maps 2·nf → 3. We use the working 2·nf → 3 convention for
+both (SURVEY §7.4: emulate semantics, not bugs).
+"""
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.models.spynet import SpyNet
+from mobilesuperresolution_tpu.ops.layers import PlainConv
+from mobilesuperresolution_tpu.ops.resize import resize_bilinear
+from mobilesuperresolution_tpu.ops.warp import flow_warp
+
+
+def lrelu(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+class ResidualBlockNoBN(nn.Module):
+    num_feat: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = PlainConv(self.num_feat, 3)(x)
+        y = nn.relu(y)
+        y = PlainConv(self.num_feat, 3)(y)
+        return x + y
+
+
+class ConvResidualBlocks(nn.Module):
+    """conv3x3 → lrelu → num_block residual blocks (basicvsr_arch.py:108-124)."""
+
+    num_out_ch: int
+    num_block: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = lrelu(PlainConv(self.num_out_ch, 3)(x))
+        for _ in range(self.num_block):
+            x = ResidualBlockNoBN(self.num_out_ch)(x)
+        return x
+
+
+class _PropagationStep(nn.Module):
+    """One recurrence step: warp carry by flow, concat frame, run trunk."""
+
+    num_feat: int
+    num_block: int
+
+    @nn.compact
+    def __call__(self, feat_prop, xs):
+        x_i, flow = xs
+        feat_prop = flow_warp(feat_prop, flow, padding_mode="zeros")
+        feat_prop = ConvResidualBlocks(self.num_feat, self.num_block, name="trunk")(
+            jnp.concatenate([x_i, feat_prop], axis=-1)
+        )
+        return feat_prop, feat_prop
+
+
+def _scan_propagation(num_feat, num_block, name):
+    return nn.scan(
+        _PropagationStep,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=0,
+        out_axes=0,
+    )(num_feat=num_feat, num_block=num_block, name=name)
+
+
+class BasicVSRBase(nn.Module):
+    """Shared propagation machinery. Subclasses define the reconstruction."""
+
+    num_feat: int = 64
+    num_block: int = 15
+    scale: int = 4
+    compute_dtype: Any = jnp.float32
+
+    def _flows(self, x):
+        """x: (B, T, H, W, C) → (flows_forward, flows_backward), each
+        (T-1, B, H, W, 2), both directions in one SpyNet batch."""
+        b, t, h, w, c = x.shape
+        x1 = x[:, :-1].reshape(b * (t - 1), h, w, c)
+        x2 = x[:, 1:].reshape(b * (t - 1), h, w, c)
+        ref = jnp.concatenate([x1, x2], axis=0)
+        supp = jnp.concatenate([x2, x1], axis=0)
+        flows = SpyNet(name="spynet")(ref, supp)
+        fb = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
+        ff = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
+        # time-major for scan
+        return jnp.moveaxis(ff, 1, 0), jnp.moveaxis(fb, 1, 0)
+
+    def _propagate(self, x, flows_forward, flows_backward):
+        """Bidirectional propagation. x: (B, T, H, W, C). Returns
+        (out_backward, out_forward) each (B, T, H, W, nf)."""
+        b, t, h, w, _ = x.shape
+        xt = jnp.moveaxis(x, 1, 0)  # (T, B, H, W, C)
+        init = jnp.zeros((b, h, w, self.num_feat), x.dtype)
+        # dummy zero flow for the first step of each scan (it warps the
+        # all-zeros carry, a no-op) — built explicitly so T=1 clips (empty
+        # flow sequence) still scan.
+        dummy = jnp.zeros((1, b, h, w, 2), x.dtype)
+
+        # backward: scan over reversed time. Step j>=1 processes frame
+        # i=T-1-j with flows_backward[i], i.e. the reversed flow sequence
+        # (basicvsr_arch.py:70-74).
+        bwd_flows = jnp.concatenate([dummy, flows_backward[::-1]], axis=0)
+        _, out_b = _scan_propagation(self.num_feat, self.num_block, "backward_trunk")(
+            init, (xt[::-1], bwd_flows)
+        )
+        out_b = out_b[::-1]  # back to forward time order
+
+        fwd_flows = jnp.concatenate([dummy, flows_forward], axis=0)
+        _, out_f = _scan_propagation(self.num_feat, self.num_block, "forward_trunk")(
+            init, (xt, fwd_flows)
+        )
+        return jnp.moveaxis(out_b, 0, 1), jnp.moveaxis(out_f, 0, 1)
+
+
+class BasicVSR(BasicVSRBase):
+    """Mobile-modified BasicVSR (reference models/basicvsr_arch.py:10-105):
+    fusion 1x1 (2nf→2nf) → lrelu → ConvTranspose(5, stride=scale) → bilinear
+    resize to (H, W) → + bilinear base."""
+
+    num_feat: int = 24
+    num_block: int = 8
+
+    @nn.compact
+    def __call__(self, x, height=1080, width=1920):
+        in_dtype = x.dtype
+        x = x.astype(self.compute_dtype)
+        b, t, h, w, c = x.shape
+        ff, fb = self._flows(x)
+        out_b, out_f = self._propagate(x, ff, fb)
+
+        # reconstruction, batched over B*T
+        feats = jnp.concatenate([out_b, out_f], axis=-1).reshape(
+            b * t, h, w, 2 * self.num_feat
+        )
+        out = lrelu(PlainConv(2 * self.num_feat, 1, use_bias=True, name="fusion")(feats))
+        out = nn.ConvTranspose(
+            features=3,
+            kernel_size=(5, 5),
+            strides=(self.scale, self.scale),
+            padding="VALID",
+            name="conv_last",
+        )(out)
+        out = resize_bilinear(out, (height, width), align_corners=False)
+        base = resize_bilinear(
+            x.reshape(b * t, h, w, c), (height, width), align_corners=False
+        )
+        out = out + base
+        return out.reshape(b, t, height, width, c).astype(in_dtype)
+
+
+class BasicVSROrigin(BasicVSRBase):
+    """Faithful BasicVSR reconstruction (models/basicvsr_arch_origin.py:10-96):
+    fusion 1x1 (2nf→nf) → 2x (conv + PixelShuffle(2) + lrelu) → conv_hr →
+    conv_last → + 4x bilinear base → resize to (H, W)."""
+
+    num_feat: int = 64
+    num_block: int = 30
+
+    @nn.compact
+    def __call__(self, x, height=1080, width=1920):
+        from mobilesuperresolution_tpu.ops.layers import depth_to_space
+
+        in_dtype = x.dtype
+        x = x.astype(self.compute_dtype)
+        b, t, h, w, c = x.shape
+        ff, fb = self._flows(x)
+        out_b, out_f = self._propagate(x, ff, fb)
+
+        feats = jnp.concatenate([out_b, out_f], axis=-1).reshape(
+            b * t, h, w, 2 * self.num_feat
+        )
+        out = lrelu(PlainConv(self.num_feat, 1, name="fusion")(feats))
+        out = lrelu(depth_to_space(PlainConv(self.num_feat * 4, 3, name="upconv1")(out), 2))
+        out = lrelu(depth_to_space(PlainConv(64 * 4, 3, name="upconv2")(out), 2))
+        out = lrelu(PlainConv(64, 3, name="conv_hr")(out))
+        out = PlainConv(3, 3, name="conv_last")(out)
+        base = resize_bilinear(
+            x.reshape(b * t, h, w, c), (h * 4, w * 4), align_corners=False
+        )
+        out = out + base
+        out = resize_bilinear(out, (height, width), align_corners=False)
+        return out.reshape(b, t, height, width, c).astype(in_dtype)

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mobilesuperresolution_tpu.ops.layers import PlainConv
-from mobilesuperresolution_tpu.ops.resize import avg_pool_2x2, resize_bilinear
+from mobilesuperresolution_tpu.ops.resize import avg_pool_2x2, replicate_pad_hw, resize_bilinear
 from mobilesuperresolution_tpu.ops.warp import flow_warp
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
@@ -61,10 +61,10 @@ class SpyNet(nn.Module):
             supps.insert(0, avg_pool_2x2(supps[0]))
 
         h0, w0 = refs[0].shape[1:3]
-        flow = jnp.zeros((n, h0 // 2, w0 // 2, 2), ref.dtype)
+        flow = jnp.zeros((n, max(h0 // 2, 1), max(w0 // 2, 1), 2), ref.dtype)
         modules = [SpyNetBasicModule(name=f"level_{i}") for i in range(self.levels)]
         for level in range(self.levels):
-            target_hw = refs[level].shape[1:3]
+            th, tw = refs[level].shape[1:3]
             up = (
                 resize_bilinear(
                     flow,
@@ -73,9 +73,16 @@ class SpyNet(nn.Module):
                 )
                 * 2.0
             )
-            # sizes are exact multiples here (input forced to /32), so the
-            # reference's replicate-pad branch never fires; assert instead.
-            assert up.shape[1:3] == target_hw, (up.shape, target_hw)
+            # odd level sizes leave the 2x-upsampled flow one short —
+            # replicate-pad like the reference (spynet_arch.py:67-70); crop
+            # covers the degenerate 1x1 coarsest level of tiny test inputs.
+            if up.shape[1] < th or up.shape[2] < tw:
+                up = replicate_pad_hw(
+                    up,
+                    pad_bottom=max(th - up.shape[1], 0),
+                    pad_right=max(tw - up.shape[2], 0),
+                )
+            up = up[:, :th, :tw]
             warped = flow_warp(supps[level], up, padding_mode="border")
             inp = jnp.concatenate([refs[level], warped, up], axis=-1)
             flow = modules[level](inp) + up
