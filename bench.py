@@ -1,0 +1,62 @@
+"""Headline benchmark: 1080p x4 video super-resolution throughput on one chip.
+
+Measures BasicVSR (mobile config: num_feat=24, num_block=8 —
+train_video_superresolution.py:250) on the NEMO pipeline shape 426x240 LR →
+1920x1080 HR (datasets/_vsr.py:470,485), bfloat16 compute, steady-state
+frames/sec. North star (BASELINE.md): > 30 fps on one v5e chip, so
+vs_baseline = fps / 30.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mobilesuperresolution_tpu.models import get_vsr_model
+
+    T = 10
+    H, W = 240, 426
+    OH, OW = 1080, 1920
+
+    model = get_vsr_model("basic", scale=4, compute_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, T, H, W, 3)), dtype=jnp.float32)
+    variables = model.init(jax.random.key(0), x, OH, OW)
+
+    @jax.jit
+    def forward(variables, x):
+        return model.apply(variables, x, OH, OW)
+
+    # compile + warmup
+    out = forward(variables, x)
+    out.block_until_ready()
+
+    runs = 5
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = forward(variables, x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / runs
+    fps = T / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "basicvsr_1080p_x4_fps",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

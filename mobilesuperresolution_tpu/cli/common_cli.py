@@ -1,0 +1,52 @@
+"""Shared CLI plumbing."""
+
+import argparse
+import os
+
+import mobilesuperresolution_tpu.data as data_pkg
+import mobilesuperresolution_tpu.models as models_pkg
+
+
+def base_parser(description):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--job_dir", type=str, required=True)
+    parser.add_argument("--dataset", type=str, default="div2k")
+    parser.add_argument("--eval_datasets", type=str, nargs="*", default=["set5"])
+    parser.add_argument("--epochs", type=int, default=30)
+    parser.add_argument("--learning_rate", type=float, default=1e-3)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the latest checkpoint in job_dir "
+                        "(actually implemented, unlike the reference — "
+                        "SURVEY §5.3).")
+    parser.add_argument("--eval_model", type=str, default=None,
+                        help="Path to a params .npz to evaluate/initialize from.")
+    parser.add_argument("--eval_only", action="store_true")
+    parser.add_argument("--debug", action="store_true",
+                        help="Clamp epochs to 1 and enable jax debug_nans.")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute (MXU-native).")
+    parser.add_argument("--save_eval_images", action="store_true")
+    return parser
+
+
+def parse_with_plugins(parser, argv=None, with_models=True):
+    """Reference idiom: parse known args, let dataset + model modules inject
+    flags, then re-parse (pretrain.py:329-337)."""
+    known, _ = parser.parse_known_args(argv)
+    dataset_module = data_pkg.get_dataset_module(known.dataset)
+    dataset_module.update_argparser(parser)
+    if with_models:
+        models_pkg.update_argparser(parser)
+    params = parser.parse_args(argv)
+    if params.debug:
+        params.epochs = 1
+    os.makedirs(params.job_dir, exist_ok=True)
+    return params, dataset_module
+
+
+def eval_modules(params):
+    out = []
+    for name in params.eval_datasets:
+        out.append((name, data_pkg.get_dataset_module(name)))
+    return out

@@ -1,0 +1,118 @@
+"""SISR pretraining entry (reference: pretrain.py).
+
+Usage:
+  python -m mobilesuperresolution_tpu.cli.pretrain \
+      --job_dir runs/x2 --dataset div2k --eval_datasets set5 \
+      --model_type BASIC_MODEL --scale 2
+
+Semantics kept: L1 loss, Adam + MultiStepLR([E/2, 9E/10], γ=0.3)
+(pretrain.py:135-143), per-epoch eval + checkpointing; data parallelism via
+the mesh 'data' axis (replacing DDP, SURVEY §5.8); real --resume.
+"""
+
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.cli.common_cli import (
+    base_parser,
+    eval_modules,
+    parse_with_plugins,
+)
+from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
+from mobilesuperresolution_tpu.core.utils import attr_extractor, loss_printer
+from mobilesuperresolution_tpu.data.isr import batch_iterator
+from mobilesuperresolution_tpu.models import get_model
+from mobilesuperresolution_tpu.parallel import make_mesh, shard_batch
+from mobilesuperresolution_tpu.train.checkpoint import CheckpointManager, save_params_npz, load_params_npz
+from mobilesuperresolution_tpu.train.evaluate import evaluate
+from mobilesuperresolution_tpu.train.state import create_train_state, multistep_adam
+from mobilesuperresolution_tpu.train.steps import make_sisr_step
+
+
+def run_evaluation(params, state, model, eval_mods, logging, epoch):
+    fwd = jax.jit(lambda lr_img: model.apply({"params": state.params}, lr_img))
+    results = {}
+    for name, mod in eval_mods:
+        ds = mod.get_dataset(modes.EVAL, params)
+        batches = batch_iterator(ds, 1)
+        res = evaluate(
+            lambda lr_img, oh, ow: fwd(lr_img),
+            batches,
+            scale=params.scale,
+            job_dir=params.job_dir,
+            eval_data_name=name,
+            save=params.save_eval_images,
+        )
+        results[name] = res.as_dict()
+        logging.info(
+            f"[epoch {epoch}] {name}: "
+            + "  ".join(f"{k}={v:.4f}" for k, v in results[name].items())
+        )
+    return results
+
+
+def main(argv=None):
+    parser = base_parser("SISR pretraining (TPU)")
+    params, dataset_module = parse_with_plugins(parser, argv)
+    logging = LoggingTool(params.job_dir)
+    logging.info(attr_extractor(params))
+    if params.debug:
+        jax.config.update("jax_debug_nans", True)
+
+    mesh = make_mesh(spatial=1)
+    model = get_model(params)
+
+    train_ds = None if params.eval_only else dataset_module.get_dataset(modes.TRAIN, params)
+    steps_per_epoch = (
+        max(len(train_ds) // params.train_batch_size, 1) if train_ds else 1
+    )
+    tx = multistep_adam(params.learning_rate, steps_per_epoch, params.epochs)
+    sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
+    state = create_train_state(model, jax.random.key(params.seed), sample, tx)
+
+    if params.eval_model:
+        state = state.replace(params=load_params_npz(params.eval_model, state.params))
+
+    ckpt = CheckpointManager(params.job_dir)
+    start_epoch = 0
+    if params.resume:
+        state, start_epoch = ckpt.restore(state)
+        logging.info(f"resumed from epoch {start_epoch}")
+
+    eval_mods = eval_modules(params)
+    if params.eval_only:
+        run_evaluation(params, state, model, eval_mods, logging, start_epoch)
+        return
+
+    step = make_sisr_step(state)
+    with mesh:
+        for epoch in range(start_epoch + 1, params.epochs + 1):
+            meter = AverageMeter()
+            t0 = time.time()
+            for batch in batch_iterator(
+                train_ds,
+                params.train_batch_size,
+                shuffle=True,
+                seed=params.seed + epoch,
+                drop_last=True,
+            ):
+                state, metrics = step(state, shard_batch(mesh, batch))
+                meter.update(float(metrics["loss"]))
+            logging.info(
+                f"epoch {epoch}: loss={meter.avg:.4e} "
+                f"({meter.count} steps, {time.time() - t0:.1f}s) "
+                + loss_printer({k: v for k, v in metrics.items()})
+            )
+            run_evaluation(params, state, model, eval_mods, logging, epoch)
+            ckpt.save(epoch, state)
+            save_params_npz(params.job_dir, state.params)
+    logging.info("Finish Training")
+
+
+if __name__ == "__main__":
+    main()

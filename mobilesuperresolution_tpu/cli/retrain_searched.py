@@ -1,0 +1,77 @@
+"""Retrain the discrete searched architecture from scratch
+(reference: pretrain_simplified_model.py — rebuilds the net from
+block_index.txt and trains with L1).
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.cli.common_cli import (
+    base_parser,
+    eval_modules,
+    parse_with_plugins,
+)
+from mobilesuperresolution_tpu.cli.pretrain import run_evaluation
+from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
+from mobilesuperresolution_tpu.core.utils import attr_extractor
+from mobilesuperresolution_tpu.data.isr import batch_iterator
+from mobilesuperresolution_tpu.models.result_net import ResultNet
+from mobilesuperresolution_tpu.parallel import make_mesh, shard_batch
+from mobilesuperresolution_tpu.train.checkpoint import CheckpointManager, save_params_npz
+from mobilesuperresolution_tpu.train.state import create_train_state, multistep_adam
+from mobilesuperresolution_tpu.train.steps import make_sisr_step
+
+
+def main(argv=None):
+    parser = base_parser("Retrain searched architecture (TPU)")
+    parser.add_argument("--block_index", type=str, required=True,
+                        help="Path to block_index.txt (or its job dir).")
+    params, dataset_module = parse_with_plugins(parser, argv, with_models=False)
+    logging = LoggingTool(params.job_dir)
+    logging.info(attr_extractor(params))
+
+    mesh = make_mesh(spatial=1)
+    dtype = jnp.bfloat16 if params.bf16 else jnp.float32
+    model = ResultNet.from_artifact(
+        params.block_index, scale=params.scale, compute_dtype=dtype
+    )
+    logging.info(f"searched architecture: {model.idx}")
+
+    train_ds = dataset_module.get_dataset(modes.TRAIN, params)
+    steps_per_epoch = max(len(train_ds) // params.train_batch_size, 1)
+    tx = multistep_adam(params.learning_rate, steps_per_epoch, params.epochs)
+    sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
+    state = create_train_state(model, jax.random.key(params.seed), sample, tx)
+
+    ckpt = CheckpointManager(params.job_dir)
+    start_epoch = 0
+    if params.resume:
+        state, start_epoch = ckpt.restore(state)
+
+    eval_mods = eval_modules(params)
+    step = make_sisr_step(state)
+    with mesh:
+        for epoch in range(start_epoch + 1, params.epochs + 1):
+            meter = AverageMeter()
+            t0 = time.time()
+            for batch in batch_iterator(
+                train_ds,
+                params.train_batch_size,
+                shuffle=True,
+                seed=params.seed + epoch,
+                drop_last=True,
+            ):
+                state, metrics = step(state, shard_batch(mesh, batch))
+                meter.update(float(metrics["loss"]))
+            logging.info(
+                f"epoch {epoch}: loss={meter.avg:.4e} ({time.time() - t0:.1f}s)"
+            )
+            run_evaluation(params, state, model, eval_mods, logging, epoch)
+            ckpt.save(epoch, state)
+            save_params_npz(params.job_dir, state.params)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""NAS search entry — the signature workload (reference: search.py).
+
+Usage:
+  python -m mobilesuperresolution_tpu.cli.search \
+      --job_dir runs/search --dataset div2k --eval_datasets set5 \
+      --scale 2 --num_blocks 16 --num_residual_units 32 --width_search \
+      --speed_target 500 --width_epochs 15 --epochs 15 --kernel_epochs 10
+
+Three sequential phases (width → width+length → kernel) annealing a latency
+target; logs the surviving architecture to <job_dir>/block_index.txt — the
+artifact every downstream model consumes.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.cli.common_cli import (
+    base_parser,
+    eval_modules,
+    parse_with_plugins,
+)
+from mobilesuperresolution_tpu.cli.pretrain import run_evaluation
+from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
+from mobilesuperresolution_tpu.core.utils import SpeedScheduler, attr_extractor
+from mobilesuperresolution_tpu.data.isr import batch_iterator
+from mobilesuperresolution_tpu.models import get_model
+from mobilesuperresolution_tpu.models.wdsr_nas import (
+    get_block_status,
+    get_current_blocks,
+    get_width_from_block_idx,
+)
+from mobilesuperresolution_tpu.nas import SpeedLoss, append_block_index, get_ori_speed
+from mobilesuperresolution_tpu.nas.search import (
+    PHASES,
+    phase_epochs,
+    phase_lr,
+    phase_trainable_mask,
+)
+from mobilesuperresolution_tpu.parallel import make_mesh, shard_batch
+from mobilesuperresolution_tpu.train.checkpoint import CheckpointManager, save_params_npz
+from mobilesuperresolution_tpu.train.state import create_train_state, multistep_adam
+from mobilesuperresolution_tpu.train.steps import make_search_step
+
+
+def add_search_args(parser):
+    parser.add_argument("--speed_target", type=float, default=40.0,
+                        help="Latency target in ms (search.py:485-486).")
+    parser.add_argument("--width_epochs", type=int, default=15)
+    parser.add_argument("--kernel_epochs", type=int, default=10)
+    parser.add_argument("--no_speed_scheduler", action="store_true")
+    parser.add_argument("--weight_sr_l1", type=float, default=1.0)
+    parser.add_argument("--weight_speed", type=float, default=0.1,
+                        help="loss_config.py weights.")
+    parser.add_argument("--differentiable_speed", action="store_true",
+                        help="Make the latency estimate STE-differentiable "
+                        "(the reference leaves it no-grad).")
+    parser.add_argument("--log_steps", type=int, default=100)
+
+
+def main(argv=None):
+    parser = base_parser("NAS search (TPU)")
+    add_search_args(parser)
+    params, dataset_module = parse_with_plugins(parser, argv)
+    params.model_type = "NAS_MODEL"
+    if not getattr(params, "width_search", False):
+        params.width_search = True  # canonical configuration (SURVEY §2.2 #8)
+    logging = LoggingTool(params.job_dir)
+    logging.info(attr_extractor(params))
+
+    mesh = make_mesh(spatial=1)
+    model = get_model(params)
+
+    train_ds = dataset_module.get_dataset(modes.TRAIN, params)
+    steps_per_epoch = max(len(train_ds) // params.train_batch_size, 1)
+
+    ori_speed = get_ori_speed(params.num_blocks, params.num_residual_units)
+    logging.info(f"Supernet Speed: {ori_speed:.02f} ms; target {params.speed_target:.02f} ms")
+    speed_loss = SpeedLoss(scale=ori_speed - params.speed_target)
+    scheduler = SpeedScheduler(
+        search_epoch=params.width_epochs + params.epochs,
+        total_speed=ori_speed,
+        target_speed=params.speed_target,
+        gamma=0.5,
+    )
+
+    sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
+    variables = model.init(jax.random.key(params.seed), sample)
+    base_params = variables["params"]
+    eval_mods = eval_modules(params)
+    ckpt = CheckpointManager(params.job_dir)
+
+    epoch = 0
+    for phase in PHASES:
+        n_epochs = phase_epochs(params, phase)
+        if n_epochs == 0:
+            continue
+        logging.info(f"=== phase {phase}: {n_epochs} epochs ===")
+        mask = phase_trainable_mask(base_params, phase)
+        tx = multistep_adam(
+            phase_lr(params.learning_rate, phase),
+            steps_per_epoch,
+            n_epochs,
+            trainable_mask=mask,
+        )
+        state = create_train_state(model, jax.random.key(params.seed), sample, tx)
+        state = state.replace(params=base_params)
+        step = make_search_step(
+            state, speed_loss, params.weight_sr_l1, params.weight_speed
+        )
+
+        with mesh:
+            for _ in range(n_epochs):
+                epoch += 1
+                if phase in ("width", "length") and not params.no_speed_scheduler:
+                    speed_target_current = scheduler.step()
+                else:
+                    speed_target_current = params.speed_target
+                logging.info(f"speed target: {speed_target_current:.2f} ms")
+                meter = AverageMeter()
+                t0 = time.time()
+                for bidx, batch in enumerate(
+                    batch_iterator(
+                        train_ds,
+                        params.train_batch_size,
+                        shuffle=True,
+                        seed=params.seed + epoch,
+                        drop_last=True,
+                    )
+                ):
+                    state, metrics = step(
+                        state, shard_batch(mesh, batch), speed_target_current
+                    )
+                    meter.update(float(metrics["loss"]))
+                    if bidx % params.log_steps == 0:
+                        p = jax.device_get(state.params)
+                        remain_idx = get_block_status(p)
+                        remain_width = get_width_from_block_idx(p, remain_idx)
+                        append_block_index(params.job_dir, remain_idx, remain_width)
+                        logging.info(
+                            f"[{phase} e{epoch} b{bidx}] loss={float(metrics['loss']):.4e} "
+                            f"l1={float(metrics['l1']):.4e} "
+                            f"speed={float(metrics['speed']):.2f}/{speed_target_current:.2f}ms "
+                            f"blocks={len(remain_idx)}"
+                        )
+                logging.info(
+                    f"[{phase}] epoch {epoch}: loss={meter.avg:.4e} "
+                    f"({time.time() - t0:.1f}s)"
+                )
+                run_evaluation(params, state, model, eval_mods, logging, epoch)
+                ckpt.save(epoch, state)
+                save_params_npz(params.job_dir, state.params)
+        base_params = state.params
+
+    # final architecture line
+    p = jax.device_get(base_params)
+    remain_idx = get_block_status(p)
+    remain_width = get_width_from_block_idx(p, remain_idx)
+    append_block_index(params.job_dir, remain_idx, remain_width)
+    logging.info(
+        f"final arch: {get_current_blocks(p)} blocks, widths={remain_width}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""VSR training entry (reference: train_video_superresolution.py).
+
+Usage:
+  python -m mobilesuperresolution_tpu.cli.train_vsr \
+      --job_dir runs/vsr --dataset reds --model_type basic --scale 4
+
+Semantics kept: Charbonnier L1, model signature (lr, H, W), optimizer
+excludes SpyNet params (train_video_superresolution.py:160-163 — here an
+optax mask instead of parameter-list surgery), per-epoch eval + checkpoints.
+"""
+
+import time
+
+import flax.traverse_util as traverse_util
+import jax
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.cli.common_cli import (
+    base_parser,
+    eval_modules,
+    parse_with_plugins,
+)
+from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
+from mobilesuperresolution_tpu.core.utils import attr_extractor
+from mobilesuperresolution_tpu.data.isr import batch_iterator
+from mobilesuperresolution_tpu.models import get_vsr_model
+from mobilesuperresolution_tpu.parallel import make_mesh, shard_batch
+from mobilesuperresolution_tpu.train.checkpoint import (
+    CheckpointManager,
+    load_params_npz,
+    save_params_npz,
+)
+from mobilesuperresolution_tpu.train.evaluate import evaluate
+from mobilesuperresolution_tpu.train.state import create_train_state, multistep_adam
+from mobilesuperresolution_tpu.train.steps import make_vsr_step
+
+
+def spynet_frozen_mask(params):
+    """False (frozen) for any leaf under a spynet/flownet submodule."""
+    flat = traverse_util.flatten_dict(params)
+    return traverse_util.unflatten_dict(
+        {k: not any(p in ("spynet", "flownet") for p in k) for k in flat}
+    )
+
+
+def add_vsr_args(parser):
+    parser.add_argument(
+        "--model_type",
+        default="basic",
+        choices=["single", "multi", "basic", "basic_mv", "basic_origin"],
+    )
+    parser.add_argument("--model_path", type=str, default=None,
+                        help="block_index.txt for the 'multi' model.")
+    parser.add_argument("--spynet_weights", type=str, default=None,
+                        help="Pretrained SpyNet params .npz (optional).")
+
+
+def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
+    results = {}
+    for name, mod in eval_mods:
+        ds = mod.get_dataset(modes.EVAL, params)
+        batches = batch_iterator(ds, 1)
+
+        def fwd(lr_clip, oh, ow):
+            return jax.jit(
+                lambda p, x: model.apply({"params": p}, x, oh, ow),
+                static_argnums=(),
+            )(state.params, lr_clip)
+
+        res = evaluate(
+            fwd,
+            batches,
+            scale=params.scale,
+            job_dir=params.job_dir,
+            eval_data_name=name,
+            save=params.save_eval_images,
+        )
+        results[name] = res.as_dict()
+        logging.info(
+            f"[epoch {epoch}] {name}: "
+            + "  ".join(f"{k}={v:.4f}" for k, v in results[name].items())
+        )
+    return results
+
+
+def main(argv=None):
+    parser = base_parser("VSR training (TPU)")
+    parser.set_defaults(dataset="reds", eval_datasets=[])
+    add_vsr_args(parser)
+    params, dataset_module = parse_with_plugins(parser, argv, with_models=False)
+    logging = LoggingTool(params.job_dir)
+    logging.info(attr_extractor(params))
+
+    mesh = make_mesh(spatial=1)
+    dtype = jnp.bfloat16 if params.bf16 else jnp.float32
+    model = get_vsr_model(
+        params.model_type,
+        scale=params.scale,
+        block_index_path=params.model_path,
+        compute_dtype=dtype,
+    )
+
+    train_ds = None if params.eval_only else dataset_module.get_dataset(modes.TRAIN, params)
+    steps_per_epoch = (
+        max(len(train_ds) // params.train_batch_size, 1) if train_ds else 1
+    )
+
+    c_in = 5 if params.model_type == "basic_mv" else 3
+    t = params.image_batch
+    ps = params.lr_patch_size
+    out_hw = (ps * params.scale, ps * params.scale)
+    sample = jnp.zeros((1, t, ps, ps, c_in))
+    init_vars = model.init(jax.random.key(params.seed), sample, *out_hw)
+    mask = spynet_frozen_mask(init_vars["params"])
+    tx = multistep_adam(
+        params.learning_rate, steps_per_epoch, params.epochs, trainable_mask=mask
+    )
+    state = create_train_state(
+        model, jax.random.key(params.seed), sample, tx, extra_args=out_hw
+    )
+    if params.spynet_weights:
+        spy = load_params_npz(
+            params.spynet_weights,
+            state.params.get("spynet", state.params.get("flownet")),
+        )
+        key = "spynet" if "spynet" in state.params else "flownet"
+        new_params = dict(state.params)
+        new_params[key] = spy
+        state = state.replace(params=new_params)
+    if params.eval_model:
+        state = state.replace(params=load_params_npz(params.eval_model, state.params))
+
+    ckpt = CheckpointManager(params.job_dir)
+    start_epoch = 0
+    if params.resume:
+        state, start_epoch = ckpt.restore(state)
+        logging.info(f"resumed from epoch {start_epoch}")
+
+    eval_mods = eval_modules(params)
+    if params.eval_only:
+        run_vsr_evaluation(params, state, model, eval_mods, logging, start_epoch)
+        return
+
+    step = make_vsr_step(state, out_hw)
+    with mesh:
+        for epoch in range(start_epoch + 1, params.epochs + 1):
+            meter = AverageMeter()
+            t0 = time.time()
+            for batch in batch_iterator(
+                train_ds,
+                params.train_batch_size,
+                shuffle=True,
+                seed=params.seed + epoch,
+                drop_last=True,
+            ):
+                state, metrics = step(state, shard_batch(mesh, batch))
+                meter.update(float(metrics["loss"]))
+            logging.info(
+                f"epoch {epoch}: charbonnier={meter.avg:.4e} "
+                f"({meter.count} steps, {time.time() - t0:.1f}s)"
+            )
+            if eval_mods:
+                run_vsr_evaluation(params, state, model, eval_mods, logging, epoch)
+            ckpt.save(epoch, state)
+            save_params_npz(params.job_dir, state.params)
+    logging.info("Finish Training")
+
+
+if __name__ == "__main__":
+    main()

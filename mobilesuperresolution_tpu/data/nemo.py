@@ -1,0 +1,68 @@
+"""NEMO raw-frame video dataset (240p LR → 1080p HR).
+
+Reference: datasets/nemo.py + datasets/_vsr.py:435-508 (NemoHdf5Dataset).
+Frames are raw interleaved BGR uint8 files produced by the YUV420 converter
+(datasets/yuv420_to_bgr.py → data/yuv.py here): LR 240x426x3, HR 1080x1920x3.
+Windows: TRAIN stride 25, EVAL stride image_batch (nemo.py:146-160); the
+window file lists are dumped as CSVs into the job dir (nemo.py:124-135).
+"""
+
+import csv
+import os
+
+import numpy as np
+
+from mobilesuperresolution_tpu.core import modes
+from mobilesuperresolution_tpu.data import vsr as _vsr
+
+LR_SHAPE = (240, 426, 3)
+HR_SHAPE = (1080, 1920, 3)
+
+
+def update_argparser(parser):
+    _vsr.update_argparser(parser)
+    parser.add_argument("--val_image_batch", default=100, type=int)
+    parser.set_defaults(
+        num_channels=3, num_patches=1000, train_batch_size=16, eval_batch_size=1
+    )
+
+
+def list_raw_windows(d, mode, image_batch):
+    files = sorted(os.listdir(d))
+    files = [(f, os.path.join(d, f)) for f in files if "_" not in f]
+    stride = 25 if mode == modes.TRAIN else image_batch
+    n = len(files)
+    return [files[i : i + image_batch] for i in range(0, n + 1 - image_batch, stride)]
+
+
+class NemoDataset(_vsr.VideoSRDataset):
+    def __init__(self, mode, params, lr_windows, hr_windows):
+        super().__init__(mode, params, lr_windows, hr_windows, cache_dir=None)
+
+    def _load_frame(self, key, path):
+        if path.endswith(".raw"):
+            shape = LR_SHAPE if "lr" in path.lower() or "240" in path else HR_SHAPE
+            arr = np.fromfile(path, dtype=np.uint8)
+            # BGR raw → RGB
+            return arr.reshape(shape)[..., ::-1]
+        return super()._load_frame(key, path)
+
+
+def get_dataset(mode, params):
+    root = os.path.join(getattr(params, "data_dir", "data"), "nemo")
+    split = "train" if mode == modes.TRAIN else "eval"
+    lr_dir = os.path.join(root, split, "lr")
+    hr_dir = os.path.join(root, split, "hr")
+    batch = params.image_batch if mode == modes.TRAIN else params.val_image_batch
+    lr_windows = list_raw_windows(lr_dir, mode, batch)
+    hr_windows = list_raw_windows(hr_dir, mode, batch)
+
+    job_dir = getattr(params, "job_dir", None)
+    if job_dir:
+        tag = "_train.csv" if mode == modes.TRAIN else "_eval.csv"
+        for prefix, windows in (("lr", lr_windows), ("hr", hr_windows)):
+            with open(os.path.join(job_dir, prefix + tag), "w", newline="") as fh:
+                w = csv.writer(fh)
+                for win in windows:
+                    w.writerow([p for _, p in win])
+    return NemoDataset(mode, params, lr_windows, hr_windows)

@@ -1,0 +1,7 @@
+from mobilesuperresolution_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+from mobilesuperresolution_tpu.parallel.halo import spatially_sharded_apply

@@ -1,0 +1,47 @@
+"""Device-mesh utilities — the TPU-native replacement for the reference's
+NCCL/DDP stack (pretrain.py:157-158,239; SURVEY §5.8).
+
+Design: one ``jax.sharding.Mesh`` with axes
+- ``data``    — batch (data parallelism; gradient psum rides ICI implicitly)
+- ``spatial`` — image height (spatially-sharded inference with halo exchange,
+  the principled version of the reference's overlap patch tiling)
+
+Training is one pjit-compiled step with the batch sharded over ``data`` and
+params replicated; XLA inserts the gradient all-reduce. Per-host data loading
+replaces DistributedSampler (shard file lists by ``jax.process_index()``).
+"""
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data=None, spatial=1, devices=None):
+    """Create a (data, spatial) mesh. ``data=None`` uses all remaining
+    devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        assert n % spatial == 0, (n, spatial)
+        data = n // spatial
+    assert data * spatial == n, f"{data}x{spatial} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, spatial)
+    return Mesh(dev_array, axis_names=("data", "spatial"))
+
+
+def data_sharding(mesh, ndim=4):
+    """Batch-dim sharding over the 'data' axis for an N-d array."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh, batch):
+    """Place a pytree of host arrays with the leading dim sharded over
+    'data'."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
+    )

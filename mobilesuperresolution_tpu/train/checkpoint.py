@@ -1,0 +1,90 @@
+"""Orbax checkpointing with REAL resume.
+
+Artifacts mirror the reference's layout (SURVEY §5.4):
+- <job>/weights/        — latest params only (the reference's models.pt)
+- <job>/ckpt/           — full state {params, opt_state, epoch} (latest.pth)
+The reference's --resume flag never loads anything (pretrain.py:313, SURVEY
+§5.3); here ``restore`` actually restores params + optimizer state + epoch.
+"""
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, job_dir, max_to_keep=3):
+        self.job_dir = job_dir
+        path = os.path.abspath(os.path.join(job_dir, "ckpt"))
+        os.makedirs(path, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            path,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, epoch: int, state, extra: Optional[dict] = None):
+        payload = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": int(state.step),
+            "epoch": int(epoch),
+        }
+        if extra:
+            payload["extra"] = jax.device_get(extra)
+        self._mngr.save(epoch, args=ocp.args.StandardSave(payload))
+        self._mngr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state, epoch: Optional[int] = None):
+        """Returns (state_with_restored_params_and_opt, epoch) or (state, 0)
+        if nothing to restore."""
+        target_epoch = epoch if epoch is not None else self._mngr.latest_step()
+        if target_epoch is None:
+            return state, 0
+        template = {
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+            "step": 0,
+            "epoch": 0,
+        }
+        restored = self._mngr.restore(
+            target_epoch, args=ocp.args.StandardRestore(template)
+        )
+        state = state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+        return state, restored["epoch"]
+
+
+def save_params_npz(job_dir, params, name="models"):
+    """Flat-npz export of params (the reference's bare state_dict models.pt)."""
+    out_dir = os.path.join(job_dir, "weights")
+    os.makedirs(out_dir, exist_ok=True)
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        flat[key] = np.asarray(leaf)
+    np.savez(os.path.join(out_dir, f"{name}.npz"), **flat)
+    return os.path.join(out_dir, f"{name}.npz")
+
+
+def load_params_npz(path, params_template):
+    """Inverse of save_params_npz onto a params pytree template."""
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(params_template)
+    new_leaves = []
+    for p, leaf in leaves:
+        key = "/".join(str(getattr(q, "key", getattr(q, "idx", q))) for q in p)
+        arr = data[key]
+        assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+        new_leaves.append(arr.astype(leaf.dtype))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(params_template), new_leaves
+    )

@@ -1,0 +1,70 @@
+"""Train state + optimizers.
+
+The reference uses Adam + MultiStepLR(milestones=[E/2, 9E/10], gamma=0.3)
+(pretrain.py:135-143) and, for search phases, Adam over a *subset* of params
+with a fresh DDP wrap per phase (search.py:290-405). Here phase switching is an
+optax ``multi_transform`` mask — no re-wrapping (SURVEY §7.3).
+"""
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: int
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    apply_fn: Callable = flax.struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def multistep_lr(base_lr, steps_per_epoch, epochs, gamma=0.3, milestones=None):
+    """MultiStepLR as an optax schedule. Default milestones = [E/2, 9E/10]
+    epochs (pretrain.py:139-142)."""
+    if milestones is None:
+        milestones = [epochs // 2, epochs * 9 // 10]
+    boundaries = {int(m * steps_per_epoch): gamma for m in milestones if m > 0}
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
+def multistep_adam(
+    base_lr,
+    steps_per_epoch,
+    epochs,
+    gamma=0.3,
+    milestones=None,
+    trainable_mask: Optional[Any] = None,
+):
+    """Adam with the reference's LR schedule; ``trainable_mask`` is a pytree of
+    bools (True = train) implementing the search phases' parameter freezing."""
+    sched = multistep_lr(base_lr, steps_per_epoch, epochs, gamma, milestones)
+    tx = optax.adam(learning_rate=sched)
+    if trainable_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze", trainable_mask
+            ),
+        )
+    return tx
+
+
+def create_train_state(model, rng, sample_input, tx, extra_args=()):
+    variables = model.init(rng, sample_input, *extra_args)
+    return TrainState(
+        step=0,
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )

@@ -1,0 +1,118 @@
+"""jit-compiled train steps (data-parallel over the mesh's 'data' axis).
+
+One pjit-compiled function per workload; the gradient all-reduce is implicit
+in the sharding (batch sharded over 'data', params replicated — XLA inserts
+the psum over ICI). This replaces the reference's DDP/NCCL machinery
+(pretrain.py:239, search.py:329-337).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.train.losses import charbonnier_loss, l1_loss
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,))
+def _sisr_step(state_tuple, batch, apply_fn, tx):
+    params, opt_state, step = state_tuple
+    lr_img, hr_img = batch
+
+    def loss_fn(p):
+        sr = apply_fn({"params": p}, lr_img)
+        return l1_loss(sr, hr_img)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+    return (params, opt_state, step + 1), {"loss": loss, "l1": loss}
+
+
+def make_sisr_step(state):
+    """Returns step(state, batch) -> (state, metrics) for BASIC_MODEL
+    pretraining (L1 loss, pretrain.py:61-82)."""
+
+    def step(state, batch):
+        tup, metrics = _sisr_step(
+            (state.params, state.opt_state, state.step), batch, state.apply_fn, state.tx
+        )
+        params, opt_state, s = tup
+        return state.replace(params=params, opt_state=opt_state, step=s), metrics
+
+    return step
+
+
+def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1):
+    """NAS search step: L1 + SpeedLoss on the traced latency
+    (search.py:71-81). ``speed_target`` is a per-epoch scalar from the
+    SpeedScheduler, passed per call."""
+
+    @functools.partial(
+        jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,)
+    )
+    def _step(state_tuple, batch, speed_target, apply_fn, tx):
+        params, opt_state, step = state_tuple
+        lr_img, hr_img = batch
+
+        def loss_fn(p):
+            sr, speed_accu = apply_fn({"params": p}, lr_img)
+            l1 = l1_loss(sr, hr_img)
+            sp = speed_loss(speed_accu, speed_target, gamma=weight_speed)
+            return weight_sr_l1 * l1 + sp, (l1, sp, speed_accu)
+
+        (loss, (l1, sp, speed)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+        return (params, opt_state, step + 1), {
+            "loss": loss,
+            "l1": l1,
+            "speed_loss": sp,
+            "speed": speed,
+        }
+
+    def step(state, batch, speed_target):
+        tup, metrics = _step(
+            (state.params, state.opt_state, state.step),
+            batch,
+            jnp.asarray(speed_target, jnp.float32),
+            state.apply_fn,
+            state.tx,
+        )
+        params, opt_state, s = tup
+        return state.replace(params=params, opt_state=opt_state, step=s), metrics
+
+    return step
+
+
+def make_vsr_step(state, out_hw):
+    """VSR train step: Charbonnier L1; model signature (lr, H, W)
+    (train_video_superresolution.py:76-97)."""
+    oh, ow = out_hw
+
+    @functools.partial(
+        jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,)
+    )
+    def _step(state_tuple, batch, apply_fn, tx):
+        params, opt_state, step = state_tuple
+        lr_clip, hr_clip = batch
+
+        def loss_fn(p):
+            sr = apply_fn({"params": p}, lr_clip, oh, ow)
+            return charbonnier_loss(sr, hr_clip)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+        return (params, opt_state, step + 1), {"loss": loss}
+
+    def step(state, batch):
+        tup, metrics = _step(
+            (state.params, state.opt_state, state.step), batch, state.apply_fn, state.tx
+        )
+        params, opt_state, s = tup
+        return state.replace(params=params, opt_state=opt_state, step=s), metrics
+
+    return step

@@ -1,0 +1,109 @@
+"""Training smoke tests: loss falls, resume restores, search step runs,
+multi-chip dry run works on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.data.synthetic import SyntheticISRDataset
+from mobilesuperresolution_tpu.data.isr import batch_iterator
+from mobilesuperresolution_tpu.core import modes
+from mobilesuperresolution_tpu.models import BasicModel, NASModel
+from mobilesuperresolution_tpu.nas import SpeedLoss, get_ori_speed
+from mobilesuperresolution_tpu.train.state import create_train_state, multistep_adam
+from mobilesuperresolution_tpu.train.steps import make_search_step, make_sisr_step
+from mobilesuperresolution_tpu.train.checkpoint import CheckpointManager
+
+
+class P:
+    scale = 2
+    lr_patch_size = 16
+    ignored_boundary_size = 2
+    num_patches = 4
+    seed = 0
+
+
+def _batches(n=6, bs=4):
+    ds = SyntheticISRDataset(modes.TRAIN, P(), num_images=4, hw=(96, 96))
+    out = []
+    it = batch_iterator(ds, bs, shuffle=True, seed=0)
+    for i, b in enumerate(it):
+        if i >= n:
+            break
+        out.append(b)
+    return out
+
+
+def test_sisr_training_loss_falls():
+    model = BasicModel(num_blocks=2, num_residual_units=8, scale=2)
+    tx = multistep_adam(1e-3, steps_per_epoch=6, epochs=10)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 16, 16, 3)), tx)
+    step = make_sisr_step(state)
+    batches = _batches(n=12)
+    losses = []
+    for b in batches:
+        state, m = step(state, b)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
+def test_search_step_and_speed_loss():
+    model = NASModel(num_blocks=2, num_residual_units=8, scale=2)
+    tx = multistep_adam(1e-3, steps_per_epoch=4, epochs=4)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 16, 16, 3)), tx)
+    sl = SpeedLoss(scale=get_ori_speed(2, 8))
+    step = make_search_step(state, sl)
+    for b in _batches(n=3):
+        state, m = step(state, b, speed_target=5.0)
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["speed"]) > 0
+
+
+def test_checkpoint_save_restore(tmp_path):
+    model = BasicModel(num_blocks=1, num_residual_units=8, scale=2)
+    tx = multistep_adam(1e-3, steps_per_epoch=2, epochs=2)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 8, 8, 3)), tx)
+    step = make_sisr_step(state)
+    for b in _batches(n=2):
+        state, _ = step(state, b)
+    mngr = CheckpointManager(str(tmp_path))
+    mngr.save(epoch=3, state=state)
+
+    fresh = create_train_state(model, jax.random.key(1), jnp.zeros((1, 8, 8, 3)), tx)
+    restored, epoch = mngr.restore(fresh)
+    assert epoch == 3
+    assert int(restored.step) == int(state.step)
+    a = jax.tree_util.tree_leaves(restored.params)
+    b_ = jax.tree_util.tree_leaves(state.params)
+    for x, y in zip(a, b_):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_trainable_mask_freezes_params():
+    model = NASModel(num_blocks=2, num_residual_units=8, scale=2)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    params = variables["params"]
+    # phase-1 style: train everything except alpha1/alpha2 (length frozen)
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params)
+    mask = {k: not (k[-1] in ("alpha1", "alpha2")) for k in flat}
+    mask_tree = tu.unflatten_dict(mask)
+    tx = multistep_adam(1e-2, 10, 10, trainable_mask=mask_tree)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 8, 8, 3)), tx)
+    a1_before = float(state.params["block_0"]["alpha1"])
+    step = make_search_step(state, SpeedLoss(10.0))
+    for b in _batches(n=2):
+        state, _ = step(state, b, 1.0)
+    assert float(state.params["block_0"]["alpha1"]) == a1_before
+    # something else did move
+    assert float(jnp.abs(state.params["mask_w"] - variables["params"]["mask_w"]).sum()) > 0
+
+
+def test_dryrun_multichip_8_devices(eight_devices):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
