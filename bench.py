@@ -16,7 +16,19 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the 240p recurrent program is expensive to
+    # compile through the remote-compile tunnel (~10+ min cold); cached runs
+    # start in seconds. The cache directory lives in-repo so driver runs hit
+    # the warm cache.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     import jax.numpy as jnp
 
     from mobilesuperresolution_tpu.models import get_vsr_model

@@ -1,0 +1,101 @@
+"""Learned latency-predictor MLP + trainer.
+
+Reference: speed_models/SpeedModel.py (ConvBlockModel: Linear
+in→32→64→128→64→32→1 with ReLUs, kaiming-normal×0.1 init) and
+speed_models/train_speed_model.py (80/20 split, SGD+StepLR, relative-
+squared-error loss ((s−t)/scale)²/t).
+
+The training data here comes from the on-TPU kernel timing harness
+(kernels/timing.py) instead of mobile TFLite benchmark logs — rows are
+(ch_in, ch_split, kernel, latency_ms), the same schema as
+speed_models/speed_data/data_generate_from_txt.py:83.
+"""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def _kaiming01(key, shape, dtype=jnp.float32):
+    fan_in = shape[0]
+    std = float(np.sqrt(2.0 / fan_in)) * 0.1
+    return std * jax.random.normal(key, shape, dtype)
+
+
+class SpeedPredictor(nn.Module):
+    """MLP block-descriptor → latency (ms)."""
+
+    num_feat: int = 3  # (ch_in, ch_split, kernel)
+
+    @nn.compact
+    def __call__(self, x):
+        for width in (32, 64, 128, 64, 32):
+            x = nn.relu(nn.Dense(width, kernel_init=_kaiming01)(x))
+        return nn.Dense(1, kernel_init=_kaiming01)(x)
+
+
+def relative_squared_error(pred, target, scale=1.0):
+    """((s − t)/scale)² / t (train_speed_model.py:15-19)."""
+    return jnp.mean(((pred - target) / scale) ** 2 / jnp.maximum(target, 1e-8))
+
+
+def train_speed_predictor(
+    rows, seed=0, epochs=400, lr=1e-2, batch_size=32, scale=1.0
+):
+    """rows: (N, 4) [ch_in, ch_split, kernel, ms]. Returns (params, report).
+
+    80/20 train/val split like the reference trainer."""
+    rows = np.asarray(rows, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(rows))
+    n_train = int(0.8 * len(rows))
+    train, val = rows[order[:n_train]], rows[order[n_train:]]
+
+    model = SpeedPredictor(num_feat=3)
+    params = model.init(jax.random.key(seed), jnp.zeros((1, 3)))["params"]
+    sched = optax.exponential_decay(lr, transition_steps=epochs // 4 * max(1, n_train // batch_size), decay_rate=0.5, staircase=True)
+    tx = optax.sgd(sched, momentum=0.9)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, yb):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, xb)[:, 0]
+            return relative_squared_error(pred, yb, scale)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(epochs):
+        rng.shuffle(train)
+        for i in range(0, len(train), batch_size):
+            xb = jnp.asarray(train[i : i + batch_size, :3])
+            yb = jnp.asarray(train[i : i + batch_size, 3])
+            params, opt_state, loss = step(params, opt_state, xb, yb)
+
+    def _eval(split):
+        pred = model.apply({"params": params}, jnp.asarray(split[:, :3]))[:, 0]
+        rel = jnp.abs(pred - split[:, 3]) / jnp.maximum(split[:, 3], 1e-8)
+        return float(jnp.mean(rel))
+
+    report = {"train_rel_err": _eval(train), "val_rel_err": _eval(val) if len(val) else None}
+    return params, report
+
+
+class MLPSpeedEstimator:
+    """Predictor-backed estimator (the reference's estimateByMask path that
+    its TODO disabled — speed_estimator.py:70-73 — made real)."""
+
+    def __init__(self, params):
+        self.model = SpeedPredictor(num_feat=3)
+        self.params = params
+        self._fwd = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x)[:, 0]
+        )
+
+    def __call__(self, ch_in, ch_split, kernel):
+        x = jnp.asarray([[ch_in, ch_split, kernel]], jnp.float32)
+        return float(self._fwd(self.params, x)[0])

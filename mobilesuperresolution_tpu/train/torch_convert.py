@@ -1,0 +1,67 @@
+"""Torch-checkpoint conversion: reference WDSR-B state dicts → flax params.
+
+The reference ships pretrained WDSR-B x2 weights
+(models/pretrained_weights/wdsr_b_x2_{16_24,8_24}.pt, README.md:28) whose
+state dict layout is:
+  head.{weight_v,weight_g,bias}
+  body.<i>.body.{0,2,3}.{weight_v,weight_g,bias}   (1x1 expand, 1x1 linear, kxk)
+  tail.{...}, skip.0.{...}
+Torch conv weights are OIHW; flax kernels are HWIO; weight-norm g is
+(O,1,1,1) → (O,). Loading them into ``BasicModel`` gives bit-comparable
+forwards — the strongest architecture-parity check available without data.
+"""
+
+import numpy as np
+
+
+def _conv(entry_v, entry_g, entry_b):
+    return {
+        "v": np.transpose(np.asarray(entry_v), (2, 3, 1, 0)),
+        "g": np.asarray(entry_g).reshape(-1),
+        "b": np.asarray(entry_b),
+    }
+
+
+def convert_wdsr_basic_state_dict(state_dict):
+    """state_dict: name → numpy/torch tensor (torch.load result). Returns a
+    flax params dict for ``models.wdsr_basic.BasicModel``."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {}
+    params["WNConv_0"] = _conv(sd["head.weight_v"], sd["head.weight_g"], sd["head.bias"])
+    i = 0
+    while f"body.{i}.body.0.weight_v" in sd:
+        params[f"BasicBlock_{i}"] = {
+            "WNConv_0": _conv(
+                sd[f"body.{i}.body.0.weight_v"],
+                sd[f"body.{i}.body.0.weight_g"],
+                sd[f"body.{i}.body.0.bias"],
+            ),
+            "WNConv_1": _conv(
+                sd[f"body.{i}.body.2.weight_v"],
+                sd[f"body.{i}.body.2.weight_g"],
+                sd[f"body.{i}.body.2.bias"],
+            ),
+            "WNConv_2": _conv(
+                sd[f"body.{i}.body.3.weight_v"],
+                sd[f"body.{i}.body.3.weight_g"],
+                sd[f"body.{i}.body.3.bias"],
+            ),
+        }
+        i += 1
+    params["WNConv_1"] = _conv(sd["tail.weight_v"], sd["tail.weight_g"], sd["tail.bias"])
+    if "skip.0.weight_v" in sd:
+        params["WNConv_2"] = _conv(
+            sd["skip.0.weight_v"], sd["skip.0.weight_g"], sd["skip.0.bias"]
+        )
+    return params, i
+
+
+def load_reference_wdsr(path):
+    """Load a reference .pt checkpoint (requires torch) → (params, num_blocks,
+    num_residual_units)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    params, num_blocks = convert_wdsr_basic_state_dict(sd)
+    units = sd["head.weight_v"].shape[0]
+    return params, num_blocks, int(units)

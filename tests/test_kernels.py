@@ -1,0 +1,69 @@
+"""Pallas kernel correctness (interpret mode on CPU) + timing harness."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.kernels.fused_tail import fused_conv_pixel_shuffle
+from mobilesuperresolution_tpu.kernels.timing import build_latency_table, time_fn
+from mobilesuperresolution_tpu.nas.speed_estimator import TableSpeedEstimator
+from mobilesuperresolution_tpu.nas.speed_model import (
+    MLPSpeedEstimator,
+    train_speed_predictor,
+)
+from mobilesuperresolution_tpu.ops.layers import depth_to_space
+
+
+def _reference_tail(x, kernel, bias, scale):
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + bias
+    return depth_to_space(y, scale)
+
+
+@pytest.mark.parametrize("scale", [2, 4])
+def test_fused_tail_matches_xla(rng, scale):
+    b, h, w, c = 2, 16, 20, 8
+    c_out = scale * scale * 3
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    kern = rng.standard_normal((3, 3, c, c_out)).astype(np.float32) * 0.1
+    bias = rng.standard_normal((c_out,)).astype(np.float32)
+    got = np.asarray(
+        fused_conv_pixel_shuffle(
+            jnp.asarray(x), jnp.asarray(kern), jnp.asarray(bias), scale, tile=8,
+            interpret=True,
+        )
+    )
+    want = np.asarray(_reference_tail(jnp.asarray(x), jnp.asarray(kern), jnp.asarray(bias), scale))
+    assert got.shape == (b, h * scale, w * scale, 3)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_time_fn_returns_positive_ms():
+    x = jnp.ones((64, 64))
+    ms = time_fn(lambda a: a @ a, x, runs=3, warmup=1)
+    assert ms > 0
+
+
+def test_latency_table_and_estimators(tmp_path):
+    table = build_latency_table(
+        ch_in_choices=(8,), kernel_choices=(3, 5), hw=(32, 32), runs=2,
+        out_path=str(tmp_path / "tpu.npy"),
+    )
+    assert table.shape == (8, 4)  # 1 ch_in × 4 fracs × 2 kernels
+    assert (table[:, 3] >= 0).all()
+    est = TableSpeedEstimator.load(str(tmp_path / "tpu.npy"))
+    assert est(8, 8, 3) >= 0.0
+
+    # MLP predictor trains on the (tiny) table without blowing up
+    params, report = train_speed_predictor(table, epochs=30)
+    assert np.isfinite(report["train_rel_err"])
+    mlp = MLPSpeedEstimator(params)
+    assert np.isfinite(mlp(8, 8, 3))
