@@ -1,0 +1,126 @@
+"""Eval harness (image + video branches), artifact round-trip, speed
+scheduler, analysis, losses."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.analysis import (
+    load_patch_stats,
+    summarize_patch_stats,
+)
+from mobilesuperresolution_tpu.core.utils import SpeedScheduler, loss_printer
+from mobilesuperresolution_tpu.nas import SpeedLoss, append_block_index, read_block_index
+from mobilesuperresolution_tpu.ops.resize import resize_bilinear
+from mobilesuperresolution_tpu.train.evaluate import evaluate
+from mobilesuperresolution_tpu.train.losses import charbonnier_loss, l1_loss
+
+
+class TestEvaluate:
+    def _image_batches(self, rng, n=2):
+        for i in range(n):
+            hr = rng.random((1, 40, 40, 3)).astype(np.float32)
+            lr = hr[:, ::2, ::2]
+            yield f"img{i}", lr, hr
+
+    def test_image_branch(self, rng):
+        res = evaluate(
+            lambda lr, oh, ow: resize_bilinear(lr, (oh, ow), align_corners=True),
+            self._image_batches(rng),
+            scale=2,
+        )
+        assert res.total == 2
+        d = res.as_dict()
+        # identity-ish upscale: SR == bilinear baseline → equal PSNRs
+        assert abs(d["PSNR"] - d["bilinear_PSNR"]) < 1e-3
+        assert 0 < d["SSIM"] <= 1
+
+    def test_video_branch_counts_frames(self, rng):
+        t = 3
+
+        def batches():
+            hr = rng.random((1, t, 24, 24, 3)).astype(np.float32)
+            lr = hr[:, :, ::2, ::2]
+            yield "clip", lr, hr
+
+        res = evaluate(
+            lambda lr, oh, ow: resize_bilinear(lr, (oh, ow), align_corners=False),
+            batches(),
+            scale=2,
+        )
+        assert res.total == t
+        assert res.psnr > 0
+
+    def test_video_png_dumps(self, rng, tmp_path):
+        def batches():
+            hr = rng.random((1, 2, 16, 16, 3)).astype(np.float32)
+            lr = hr[:, :, ::2, ::2]
+            yield "clip", lr, hr
+
+        evaluate(
+            lambda lr, oh, ow: resize_bilinear(lr, (oh, ow), align_corners=False),
+            batches(),
+            scale=2,
+            job_dir=str(tmp_path),
+            eval_data_name="testset",
+            save=True,
+            compute_ssim=False,
+        )
+        assert (tmp_path / "eval" / "testset" / "clip000.png").exists()
+        assert (tmp_path / "eval" / "bilinear" / "clip001.png").exists()
+        assert (tmp_path / "eval" / "hr" / "clip000.png").exists()
+
+
+class TestArtifact:
+    def test_round_trip_tuple_format(self, tmp_path):
+        idx = [0, 2, 5]
+        width = [[16, 12, 3], [16, 8, 7], [16, 16, 5]]
+        append_block_index(str(tmp_path), idx, width)
+        append_block_index(str(tmp_path), idx[:2], width[:2])
+        ridx, rwidth = read_block_index(str(tmp_path))
+        assert ridx == idx[:2] and rwidth == width[:2]
+
+    def test_reads_reference_style_line(self, tmp_path):
+        (tmp_path / "block_index.txt").write_text(
+            "([0, 1], [[32, 27, 3], [32, 30, 7]])\n"
+        )
+        idx, width = read_block_index(str(tmp_path))
+        assert idx == [0, 1] and width == [[32, 27, 3], [32, 30, 7]]
+
+
+def test_speed_scheduler_anneals_linearly():
+    s = SpeedScheduler(search_epoch=10, total_speed=100.0, target_speed=20.0, gamma=0.5)
+    values = [s.step() for _ in range(10)]
+    assert values[0] > values[1] > values[3]
+    assert values[4] == 20.0  # past gamma*epochs the target holds
+    assert all(v == 20.0 for v in values[5:])
+
+
+def test_speed_loss_clamp_only_penalizes_slower():
+    sl = SpeedLoss(scale=10.0)
+    assert float(sl(jnp.asarray(5.0), 10.0, gamma=1.0)) == 0.0
+    assert float(sl(jnp.asarray(15.0), 10.0, gamma=1.0)) == pytest.approx(0.5)
+    assert float(sl(jnp.asarray(5.0), 10.0, gamma=1.0, method="abs")) == pytest.approx(0.5)
+
+
+def test_losses():
+    a = jnp.ones((2, 4, 4, 3)) * 0.5
+    b = jnp.ones((2, 4, 4, 3)) * 0.25
+    assert float(l1_loss(a, b)) == pytest.approx(0.25)
+    assert float(charbonnier_loss(a, b)) == pytest.approx(0.25, abs=1e-5)
+    assert float(charbonnier_loss(a, a)) == pytest.approx(1e-6, abs=1e-7)
+
+
+def test_patch_stats_analysis(tmp_path, rng):
+    arr = np.abs(rng.standard_normal((4, 100))).astype(np.float32)
+    np.save(tmp_path / "stats.npy", arr)
+    stats = load_patch_stats(str(tmp_path / "stats.npy"))
+    summary = summarize_patch_stats(stats, bins=5)
+    assert len(summary["space_var"]["mean_gain"]) == 5
+    assert np.isfinite(summary["mean_gain"])
+
+
+def test_loss_printer():
+    s = loss_printer({"l1": 0.5, "speed": jnp.asarray(0.25), "loss": 1.0})
+    assert "l1" in s and "speed" in s and "loss" not in s
