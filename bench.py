@@ -40,22 +40,28 @@ def main():
     model = get_vsr_model("basic", scale=4, compute_dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((1, T, H, W, 3)), dtype=jnp.float32)
-    variables = model.init(jax.random.key(0), x, OH, OW)
+    # jit the init: eager init dispatches every op individually through the
+    # remote-compile tunnel (~40 min); one jitted program takes seconds.
+    variables = jax.jit(model.init, static_argnums=(2, 3))(jax.random.key(0), x, OH, OW)
 
     @jax.jit
     def forward(variables, x):
         return model.apply(variables, x, OH, OW)
 
-    # compile + warmup
+    # compile + warmup (the scalar read forces a full device->host sync; on
+    # the tunneled backend block_until_ready alone returns early)
     out = forward(variables, x)
-    out.block_until_ready()
+    assert out.shape == (1, T, OH, OW, 3), out.shape
+    float(out.mean())
 
     runs = 5
-    t0 = time.perf_counter()
+    times = []
     for _ in range(runs):
+        t0 = time.perf_counter()
         out = forward(variables, x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / runs
+        float(out[0, -1, 0, 0, 0])  # sync: depends on the whole forward
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
     fps = T / dt
 
     print(

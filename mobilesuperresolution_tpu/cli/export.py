@@ -33,7 +33,7 @@ def main(argv=None):
 
     model = ResultNet.from_artifact(args.block_index, scale=args.scale)
     shape = (1, args.height, args.width, 3)
-    variables = model.init(jax.random.key(0), jnp.zeros(shape))
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros(shape))
     params = variables["params"]
     if args.params:
         params = load_params_npz(args.params, params)

@@ -86,7 +86,7 @@ def main(argv=None):
     )
 
     sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
-    variables = model.init(jax.random.key(params.seed), sample)
+    variables = jax.jit(model.init)(jax.random.key(params.seed), sample)
     base_params = variables["params"]
     eval_mods = eval_modules(params)
     ckpt = CheckpointManager(params.job_dir)

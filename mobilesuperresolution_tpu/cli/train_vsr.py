@@ -110,7 +110,7 @@ def main(argv=None):
     ps = params.lr_patch_size
     out_hw = (ps * params.scale, ps * params.scale)
     sample = jnp.zeros((1, t, ps, ps, c_in))
-    init_vars = model.init(jax.random.key(params.seed), sample, *out_hw)
+    init_vars = jax.jit(model.init, static_argnums=(2, 3))(jax.random.key(params.seed), sample, *out_hw)
     mask = spynet_frozen_mask(init_vars["params"])
     tx = multistep_adam(
         params.learning_rate, steps_per_epoch, params.epochs, trainable_mask=mask

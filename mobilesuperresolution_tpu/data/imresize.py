@@ -144,10 +144,12 @@ def convert_double_to_byte(I):
 
 @functools.lru_cache(maxsize=256)
 def _plan(in_hw, out_hw, dtype_name):
+    # NOTE: cache numpy (not jnp) — a jnp constant created inside a jit trace
+    # would cache a tracer and leak out of the transformation.
     scales = [out_hw[k] / in_hw[k] for k in range(2)]
     order = tuple(int(o) for o in np.argsort(np.array(scales), kind="stable"))
     mats = tuple(
-        jnp.asarray(resize_matrix(in_hw[k], out_hw[k], scales[k]), dtype=dtype_name)
+        resize_matrix(in_hw[k], out_hw[k], scales[k], dtype=dtype_name)
         for k in range(2)
     )
     return order, mats
@@ -171,6 +173,7 @@ def imresize_jax(img, out_hw, quantize_uint8=False, dtype=jnp.float32):
     # precision=HIGHEST: true-f32 matmuls — the TPU default (bf16 passes) would
     # break the 1/255-exact degradation contract.
     hi = jax.lax.Precision.HIGHEST
+    mats = tuple(jnp.asarray(m) for m in mats)
     for dim in order:
         m = mats[dim]
         if dim == 0:

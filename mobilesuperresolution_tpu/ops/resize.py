@@ -38,25 +38,30 @@ def linear_resize_matrix(in_len, out_len, align_corners=False, dtype=np.float32)
 
 @functools.lru_cache(maxsize=512)
 def _matrices(in_hw, out_hw, align_corners, dtype_name):
-    mh = jnp.asarray(
-        linear_resize_matrix(in_hw[0], out_hw[0], align_corners), dtype=dtype_name
-    )
-    mw = jnp.asarray(
-        linear_resize_matrix(in_hw[1], out_hw[1], align_corners), dtype=dtype_name
-    )
+    # NOTE: cache numpy (not jnp) — a jnp constant created inside a jit trace
+    # would cache a tracer and leak out of the transformation.
+    mh = linear_resize_matrix(in_hw[0], out_hw[0], align_corners, dtype=dtype_name)
+    mw = linear_resize_matrix(in_hw[1], out_hw[1], align_corners, dtype=dtype_name)
     return mh, mw
 
 
-def resize_bilinear(x, out_hw, align_corners=False):
-    """x: (..., H, W, C) → (..., out_h, out_w, C)."""
+def resize_bilinear(x, out_hw, align_corners=False, precision="highest"):
+    """x: (..., H, W, C) → (..., out_h, out_w, C).
+
+    precision='highest' gives true-f32 matmuls (torch-parity; the TPU default
+    bf16 passes would drift ~1e-3); pass None for the fast default on
+    perf-critical model-internal paths.
+    """
     in_hw = (x.shape[-3], x.shape[-2])
     out_hw = tuple(int(s) for s in out_hw)
     if in_hw == out_hw:
         return x
-    mh, mw = _matrices(in_hw, out_hw, bool(align_corners), np.dtype(x.dtype).name)
-    hi = jax.lax.Precision.HIGHEST
-    x = jnp.einsum("oh,...hwc->...owc", mh, x, precision=hi)
-    x = jnp.einsum("ow,...hwc->...hoc", mw, x, precision=hi)
+    dtype_name = "float32" if x.dtype == jnp.bfloat16 else np.dtype(x.dtype).name
+    mh, mw = _matrices(in_hw, out_hw, bool(align_corners), dtype_name)
+    mh = jnp.asarray(mh, dtype=x.dtype)
+    mw = jnp.asarray(mw, dtype=x.dtype)
+    x = jnp.einsum("oh,...hwc->...owc", mh, x, precision=precision)
+    x = jnp.einsum("ow,...hwc->...hoc", mw, x, precision=precision)
     return x
 
 
