@@ -48,20 +48,31 @@ def main():
     def forward(variables, x):
         return model.apply(variables, x, OH, OW)
 
-    # compile + warmup (the scalar read forces a full device->host sync; on
-    # the tunneled backend block_until_ready alone returns early)
+    # compile + warmup + shape check
     out = forward(variables, x)
     assert out.shape == (1, T, OH, OW, 3), out.shape
     float(out.mean())
 
-    runs = 5
+    # The tunneled backend has ~30 ms per-dispatch RTT, so K forwards run
+    # inside ONE dispatched program (chained through a scalar so XLA cannot
+    # hoist the loop-invariant body), and the RTT amortizes away.
+    K = 8
+
+    @jax.jit
+    def timed_loop(variables, x):
+        def body(_, acc):
+            out = model.apply(variables, x + acc * 1e-12, OH, OW)
+            return jnp.mean(out[:, -1, ::64, ::64, 0]).astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0))
+
+    float(timed_loop(variables, x))  # compile + warmup
     times = []
-    for _ in range(runs):
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = forward(variables, x)
-        float(out[0, -1, 0, 0, 0])  # sync: depends on the whole forward
+        float(timed_loop(variables, x))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
+    dt = min(times) / K
     fps = T / dt
 
     print(

@@ -24,6 +24,7 @@ from mobilesuperresolution_tpu.cli.common_cli import (
     parse_with_plugins,
 )
 from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
+from mobilesuperresolution_tpu.core.metrics_writer import MetricsWriter
 from mobilesuperresolution_tpu.core.utils import attr_extractor, loss_printer
 from mobilesuperresolution_tpu.data.isr import batch_iterator
 from mobilesuperresolution_tpu.models import get_model
@@ -90,6 +91,7 @@ def main(argv=None):
         return
 
     step = make_sisr_step(state)
+    writer = MetricsWriter(params.job_dir)
     with mesh:
         for epoch in range(start_epoch + 1, params.epochs + 1):
             meter = AverageMeter()
@@ -108,9 +110,13 @@ def main(argv=None):
                 f"({meter.count} steps, {time.time() - t0:.1f}s) "
                 + loss_printer({k: v for k, v in metrics.items()})
             )
-            run_evaluation(params, state, model, eval_mods, logging, epoch)
+            writer.scalar("training_loss_smooth", meter.avg, epoch)
+            results = run_evaluation(params, state, model, eval_mods, logging, epoch)
+            for name, vals in results.items():
+                writer.scalars(vals, epoch, prefix=f"{name}/")
             ckpt.save(epoch, state)
             save_params_npz(params.job_dir, state.params)
+    writer.flush()
     logging.info("Finish Training")
 
 

@@ -23,6 +23,7 @@ from mobilesuperresolution_tpu.cli.common_cli import (
 )
 from mobilesuperresolution_tpu.cli.pretrain import run_evaluation
 from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
+from mobilesuperresolution_tpu.core.metrics_writer import MetricsWriter
 from mobilesuperresolution_tpu.core.utils import SpeedScheduler, attr_extractor
 from mobilesuperresolution_tpu.data.isr import batch_iterator
 from mobilesuperresolution_tpu.models import get_model
@@ -90,6 +91,7 @@ def main(argv=None):
     base_params = variables["params"]
     eval_mods = eval_modules(params)
     ckpt = CheckpointManager(params.job_dir)
+    writer = MetricsWriter(params.job_dir)
 
     epoch = 0
     for phase in PHASES:
@@ -144,6 +146,12 @@ def main(argv=None):
                             f"speed={float(metrics['speed']):.2f}/{speed_target_current:.2f}ms "
                             f"blocks={len(remain_idx)}"
                         )
+                        step_no = int(state.step)
+                        writer.scalar("training_loss", float(metrics["loss"]), step_no)
+                        writer.scalar("Loss/l1", float(metrics["l1"]), step_no)
+                        writer.scalar("Loss/speed", float(metrics["speed_loss"]), step_no)
+                        writer.scalar("Arch/#Blocks", len(remain_idx), step_no)
+                        writer.scalar("Arch/Speed", float(metrics["speed"]), step_no)
                 logging.info(
                     f"[{phase}] epoch {epoch}: loss={meter.avg:.4e} "
                     f"({time.time() - t0:.1f}s)"

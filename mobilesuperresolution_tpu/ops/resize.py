@@ -60,9 +60,21 @@ def resize_bilinear(x, out_hw, align_corners=False, precision="highest"):
     mh, mw = _matrices(in_hw, out_hw, bool(align_corners), dtype_name)
     mh = jnp.asarray(mh, dtype=x.dtype)
     mw = jnp.asarray(mw, dtype=x.dtype)
-    x = jnp.einsum("oh,...hwc->...owc", mh, x, precision=precision)
-    x = jnp.einsum("ow,...hwc->...hoc", mw, x, precision=precision)
-    return x
+    # Formulate each pass as ONE large matmul M @ (in_len, everything_else) so
+    # the long fused dim is the matmul N dimension — an einsum batched over
+    # (batch, h) with N=C(=3) runs at ~2% MXU efficiency.
+    lead = x.shape[:-3]
+    h, w, c = x.shape[-3:]
+    oh, ow = out_hw
+    # rows: (oh, h) @ (h, B*w*c)
+    xr = jnp.moveaxis(x.reshape(-1, h, w, c), 1, 0).reshape(h, -1)
+    xr = jnp.dot(mh, xr, precision=precision)
+    x = jnp.moveaxis(xr.reshape(oh, -1, w, c), 0, 1)
+    # cols: (ow, w) @ (w, B*oh*c)
+    xc = jnp.moveaxis(x, 2, 0).reshape(w, -1)
+    xc = jnp.dot(mw, xc, precision=precision)
+    x = jnp.moveaxis(xc.reshape(ow, -1, oh, c), 0, 2)
+    return x.reshape(*lead, oh, ow, c)
 
 
 def avg_pool_2x2(x):

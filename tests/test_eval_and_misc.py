@@ -124,3 +124,17 @@ def test_patch_stats_analysis(tmp_path, rng):
 def test_loss_printer():
     s = loss_printer({"l1": 0.5, "speed": jnp.asarray(0.25), "loss": 1.0})
     assert "l1" in s and "speed" in s and "loss" not in s
+
+
+def test_metrics_writer(tmp_path):
+    import json
+
+    from mobilesuperresolution_tpu.core.metrics_writer import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path))
+    w.scalar("loss", 0.5, 1)
+    w.scalars({"PSNR": 30.0, "SSIM": 0.9}, 2, prefix="set5/")
+    w.flush()
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["tag"] == "loss" and lines[1]["tag"] == "set5/PSNR"
+    assert len(lines) == 3
