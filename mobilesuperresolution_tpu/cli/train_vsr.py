@@ -47,7 +47,7 @@ def add_vsr_args(parser):
     parser.add_argument(
         "--model_type",
         default="basic",
-        choices=["single", "multi", "basic", "basic_mv", "basic_origin"],
+        choices=["single", "multi", "multi_v1", "basic", "basic_mv", "basic_origin"],
     )
     parser.add_argument("--model_path", type=str, default=None,
                         help="block_index.txt for the 'multi' model.")

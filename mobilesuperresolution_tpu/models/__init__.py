@@ -21,6 +21,7 @@ from mobilesuperresolution_tpu.models.basicvsr import BasicVSR, BasicVSROrigin
 from mobilesuperresolution_tpu.models.mvvsr import MotionVectorVSR
 from mobilesuperresolution_tpu.models.single_image import SingleImageModel
 from mobilesuperresolution_tpu.models.naive_multi import NaiveMultiModel
+from mobilesuperresolution_tpu.models.naive_multi_v1 import NaiveMultiModelV1
 
 
 def update_argparser(parser):
@@ -70,6 +71,12 @@ def get_vsr_model(model_type, scale=4, block_index_path=None, compute_dtype=jnp.
         if block_index_path is None:
             raise ValueError("'multi' needs block_index_path (search artifact)")
         return NaiveMultiModel.from_artifact(
+            block_index_path, scale=scale, compute_dtype=compute_dtype
+        )
+    if model_type == "multi_v1":
+        if block_index_path is None:
+            raise ValueError("'multi_v1' needs block_index_path (search artifact)")
+        return NaiveMultiModelV1.from_artifact(
             block_index_path, scale=scale, compute_dtype=compute_dtype
         )
     if model_type == "basic":

@@ -149,3 +149,15 @@ def test_vsr_single_frame_clip():
     params = m.init(jax.random.key(0), x, 64, 64)
     out = m.apply(params, x, 64, 64)
     assert out.shape == (1, 1, 64, 64, 3)
+
+
+def test_naive_multi_v1(tmp_path):
+    from mobilesuperresolution_tpu.models.naive_multi_v1 import NaiveMultiModelV1
+
+    art = tmp_path / "block_index.txt"
+    art.write_text("([0, 1], [[8, 8, 3], [8, 6, 5]])\n")
+    m = NaiveMultiModelV1.from_artifact(str(art), scale=4)
+    x = jnp.zeros((1, 3, 12, 12, 3))
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 3, 48, 48, 3)
