@@ -138,10 +138,7 @@ class ImageSRBicubicDataset(ImageSRDataset):
         return lr, hr
 
 
-def batch_iterator(dataset, batch_size, shuffle=False, seed=0, drop_last=False):
-    """Minimal host-side batcher. TRAIN items are (lr, hr) stacked to
-    (B, h, w, C); EVAL items are (name, lr, hr) yielded with batch dim 1
-    (reference eval_batch_size=1)."""
+def _batches(dataset, batch_size, shuffle, seed, drop_last):
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
@@ -158,3 +155,38 @@ def batch_iterator(dataset, batch_size, shuffle=False, seed=0, drop_last=False):
             lrs = np.stack([it[0] for it in items])
             hrs = np.stack([it[1] for it in items])
             yield lrs, hrs
+
+
+def batch_iterator(
+    dataset, batch_size, shuffle=False, seed=0, drop_last=False, prefetch=2
+):
+    """Host-side batcher with background-thread prefetch so patch sampling +
+    bicubic degradation overlap the device step (the DataLoader-worker role of
+    the reference, num_workers=8 — pretrain.py:192-207). TRAIN items are
+    (lr, hr) stacked to (B, h, w, C); EVAL items are (name, lr, hr) with batch
+    dim 1 (reference eval_batch_size=1)."""
+    gen = _batches(dataset, batch_size, shuffle, seed, drop_last)
+    if prefetch <= 0:
+        yield from gen
+        return
+
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=prefetch)
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
