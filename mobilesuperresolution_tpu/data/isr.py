@@ -138,11 +138,17 @@ class ImageSRBicubicDataset(ImageSRDataset):
         return lr, hr
 
 
-def _batches(dataset, batch_size, shuffle, seed, drop_last):
+def _batches(dataset, batch_size, shuffle, seed, drop_last, shard_by_process=False):
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
+    if shard_by_process:
+        # per-host sharding — the DistributedSampler role (pretrain.py:182);
+        # every process shuffles identically (same seed) then takes its slice.
+        import jax
+
+        order = order[jax.process_index() :: jax.process_count()]
     for start in range(0, n, batch_size):
         idx = order[start : start + batch_size]
         if drop_last and len(idx) < batch_size:
@@ -158,14 +164,21 @@ def _batches(dataset, batch_size, shuffle, seed, drop_last):
 
 
 def batch_iterator(
-    dataset, batch_size, shuffle=False, seed=0, drop_last=False, prefetch=2
+    dataset,
+    batch_size,
+    shuffle=False,
+    seed=0,
+    drop_last=False,
+    prefetch=2,
+    shard_by_process=False,
 ):
     """Host-side batcher with background-thread prefetch so patch sampling +
     bicubic degradation overlap the device step (the DataLoader-worker role of
     the reference, num_workers=8 — pretrain.py:192-207). TRAIN items are
     (lr, hr) stacked to (B, h, w, C); EVAL items are (name, lr, hr) with batch
-    dim 1 (reference eval_batch_size=1)."""
-    gen = _batches(dataset, batch_size, shuffle, seed, drop_last)
+    dim 1 (reference eval_batch_size=1). ``shard_by_process`` slices the
+    (identically-shuffled) index order per host for multi-host training."""
+    gen = _batches(dataset, batch_size, shuffle, seed, drop_last, shard_by_process)
     if prefetch <= 0:
         yield from gen
         return
