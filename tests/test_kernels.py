@@ -67,3 +67,39 @@ def test_latency_table_and_estimators(tmp_path):
     assert np.isfinite(report["train_rel_err"])
     mlp = MLPSpeedEstimator(params)
     assert np.isfinite(mlp(8, 8, 3))
+
+
+class TestS2DConv:
+    def test_conv7_via_s2d_exact(self, rng):
+        from mobilesuperresolution_tpu.ops.s2d_conv import conv7_via_s2d
+
+        x = jnp.asarray(rng.standard_normal((2, 16, 20, 8)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((7, 7, 8, 32)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.standard_normal((32,)).astype(np.float32))
+        want = (
+            jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            + b
+        )
+        got = conv7_via_s2d(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_spynet_module_fast_matches_direct(self, rng):
+        from mobilesuperresolution_tpu.models.spynet import SpyNetBasicModule
+
+        x = jnp.asarray(rng.standard_normal((2, 16, 24, 8)).astype(np.float32))
+        fast = SpyNetBasicModule(use_s2d=True)
+        direct = SpyNetBasicModule(use_s2d=False)
+        vs = jax.jit(fast.init)(jax.random.key(0), x)
+        a = fast.apply(vs, x)
+        b = direct.apply(vs, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_spynet_module_odd_size_fallback(self, rng):
+        from mobilesuperresolution_tpu.models.spynet import SpyNetBasicModule
+
+        x = jnp.asarray(rng.standard_normal((1, 7, 9, 8)).astype(np.float32))
+        m = SpyNetBasicModule(use_s2d=True)
+        out = m.apply(jax.jit(m.init)(jax.random.key(0), x), x)
+        assert out.shape == (1, 7, 9, 2)
