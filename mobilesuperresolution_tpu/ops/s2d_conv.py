@@ -19,38 +19,43 @@ Requires even H, W (all SpyNet pyramid levels after the /32 input resize when
 h32/32 is even; callers fall back to the direct conv otherwise).
 """
 
+import functools
+
 import jax.numpy as jnp
-from einops import rearrange
+import numpy as np
 
 from mobilesuperresolution_tpu.ops.layers import depth_to_space, space_to_depth
 
 
-def s2d_transform_weights(w7):
-    """w7: (7, 7, Cin, Cout) → (5, 5, 4·Cin, 4·Cout)."""
-    cin, cout = w7.shape[2], w7.shape[3]
-    zero = jnp.zeros((cin, cout), w7.dtype)
-    # blocks[p][q][r][s]: (5, 5, Cin, Cout)
-    grid = []
-    for r in (0, 1):
-        for s in (0, 1):
-            for p in (0, 1):
-                for q in (0, 1):
-                    rows = []
-                    for a in range(-2, 3):
-                        u = 2 * a + r - p + 3
-                        cols = []
-                        for b in range(-2, 3):
-                            v = 2 * b + s - q + 3
+@functools.lru_cache(maxsize=1)
+def _scatter_tensor():
+    """Constant M[a,b,r,s,p,q,u,v] = 1 iff transformed tap (a,b) of
+    input-phase (r,s) → output-phase (p,q) reads original tap (u,v).
+    (numpy, so it stays a compile-time constant under jit.)"""
+    m = np.zeros((5, 5, 2, 2, 2, 2, 7, 7), np.float32)
+    for a in range(5):
+        for b in range(5):
+            for r in (0, 1):
+                for s in (0, 1):
+                    for p in (0, 1):
+                        for q in (0, 1):
+                            u = 2 * (a - 2) + r - p + 3
+                            v = 2 * (b - 2) + s - q + 3
                             if 0 <= u <= 6 and 0 <= v <= 6:
-                                cols.append(w7[u, v])
-                            else:
-                                cols.append(zero)
-                        rows.append(jnp.stack(cols))
-                    grid.append(jnp.stack(rows))
-    # (r, s, p, q, 5, 5, Cin, Cout)
-    w = jnp.stack(grid).reshape(2, 2, 2, 2, 5, 5, cin, cout)
-    # → (5, 5, (c r s), (d p q)) matching space_to_depth's '(c i j)' ordering
-    return rearrange(w, "r s p q a b c d -> a b (c r s) (d p q)")
+                                m[a, b, r, s, p, q, u, v] = 1.0
+    return m
+
+
+def s2d_transform_weights(w7):
+    """w7: (7, 7, Cin, Cout) → (5, 5, 4·Cin, 4·Cout). One einsum against a
+    constant scatter tensor (a stack-based construction emits thousands of
+    tiny ops and explodes XLA compile time)."""
+    cin, cout = w7.shape[2], w7.shape[3]
+    m = jnp.asarray(_scatter_tensor(), w7.dtype)
+    w2 = jnp.einsum("abrspquv,uvcd->abcrsdpq", m, w7)
+    # (a, b, c, r, s, d, p, q): flatten (c,r,s) → c*4+r*2+s and (d,p,q)
+    # matching space_to_depth's '(c i j)' channel ordering.
+    return w2.reshape(5, 5, 4 * cin, 4 * cout)
 
 
 def conv7_via_s2d(x, w7, bias=None):
