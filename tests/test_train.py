@@ -107,3 +107,68 @@ def test_dryrun_multichip_8_devices(eight_devices):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_vsr_training_step_and_spynet_freeze():
+    import flax.traverse_util as tu
+
+    from mobilesuperresolution_tpu.cli.train_vsr import spynet_frozen_mask
+    from mobilesuperresolution_tpu.models import get_vsr_model
+    from mobilesuperresolution_tpu.train.steps import make_vsr_step
+
+    model = get_vsr_model("basic", scale=4)
+    t, ps = 2, 8
+    sample = jnp.zeros((1, t, ps, ps, 3))
+    out_hw = (ps * 4, ps * 4)
+    variables = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.key(0), sample, *out_hw
+    )
+    mask = spynet_frozen_mask(variables["params"])
+    flat = tu.flatten_dict(mask)
+    assert any(not v for v in flat.values())  # spynet leaves frozen
+    assert any(v for v in flat.values())
+
+    tx = multistep_adam(1e-3, 2, 2, trainable_mask=mask)
+    state = create_train_state(
+        model, jax.random.key(0), sample, tx, extra_args=out_hw
+    )
+    spy_before = jax.tree_util.tree_leaves(state.params["spynet"])[0].copy()
+    step = make_vsr_step(state, out_hw)
+    rngs = np.random.default_rng(0)
+    hr = rngs.random((2, t, ps * 4, ps * 4, 3)).astype(np.float32)
+    lr = hr[:, :, ::4, ::4]
+    state, metrics = step(state, (lr, hr))
+    assert np.isfinite(float(metrics["loss"]))
+    spy_after = jax.tree_util.tree_leaves(state.params["spynet"])[0]
+    np.testing.assert_array_equal(np.asarray(spy_before), np.asarray(spy_after))
+
+
+def test_patch_eval_tv_statistics():
+    from mobilesuperresolution_tpu.cli.test_vsr_by_patch import (
+        evaluate_by_patch,
+        time_variation,
+        total_variation,
+    )
+    from mobilesuperresolution_tpu.ops.resize import resize_bilinear
+
+    rngs = np.random.default_rng(0)
+    clip = jnp.asarray(rngs.random((1, 3, 16, 16, 3)).astype(np.float32))
+    tv = total_variation(clip)
+    assert tv.shape == (3,)
+    tt = time_variation(clip)
+    assert tt.shape == (3,)
+    # static clip → zero temporal variation
+    static = jnp.ones((1, 3, 8, 8, 3))
+    assert float(jnp.abs(time_variation(static)).max()) == 0.0
+
+    hr = jnp.asarray(rngs.random((1, 2, 32, 32, 3)).astype(np.float32))
+    lr = hr[:, :, ::2, ::2]
+    result = evaluate_by_patch(
+        lambda x, oh, ow: resize_bilinear(x, (oh, ow), align_corners=False),
+        [("clip", lr, hr)],
+        scale=2,
+        patch=(8, 8),
+        overlap=(2, 0),
+    )
+    assert result.shape[0] == 4 and result.shape[1] > 0
+    assert np.isfinite(result).all()
