@@ -12,6 +12,15 @@ MXU over a VMEM scratch holding the row tile + 1-row halo (input is
 pre-padded spatially in JAX, so the kernel does interior math only). Grid =
 (B, H / TILE). DMA of the overlapping row window is manual (BlockSpec blocks
 cannot overlap).
+
+STATUS: correct in interpret mode (tests) but NOT lowerable by current Mosaic
+on-device — depth-to-space inherently moves channel (lane) data into spatial
+(sublane) positions, and Mosaic rejects every formulation of that relayout
+("unsupported shape cast", tried rank-5 transpose and contiguous rank-3/4
+merges). Production uses the XLA conv+depth_to_space path; this kernel is
+kept as the reference implementation for when Mosaic grows lane→sublane
+relayouts. The Pallas kernel that IS deployed is the fused ConvSep block
+(kernels/fused_convsep.py).
 """
 
 import functools
@@ -41,11 +50,19 @@ def _tail_kernel(x_hbm, w_ref, b_ref, out_ref, scratch, sem, *, tile, w_img, c_i
                 preferred_element_type=jnp.float32,
             )
     y = acc.reshape(tile, w_img, c_out) + b_ref[0]
-    # depth-to-space: channel index c*s*s + i*s + j → pixel offset (i, j)
+    # depth-to-space: channel index c*s*s + i*s + j → pixel offset (i, j).
+    # Mosaic can't lower rank-5 reshapes/transposes, so the shuffle is done
+    # with static channel reorders + contiguous rank-<=4 merges only.
     s = scale
-    y = y.reshape(tile, w_img, c_out // (s * s), s, s)
-    y = jnp.transpose(y, (0, 3, 1, 4, 2))
-    out_ref[0] = y.reshape(tile * s, w_img * s, c_out // (s * s))
+    c3 = c_out // (s * s)
+    rows = []
+    for i in range(s):
+        # j-major channel order so (W, s*c3) -> (W*s, c3) is a contiguous merge
+        ch_idx = [c * s * s + i * s + j for j in range(s) for c in range(c3)]
+        plane = jnp.concatenate([y[:, :, k : k + 1] for k in ch_idx], axis=-1)
+        rows.append(plane.reshape(tile, w_img * s, c3))
+    out = jnp.stack(rows, axis=1)  # (tile, s, W*s, c3)
+    out_ref[0] = out.reshape(tile * s, w_img * s, c3)
 
 
 def fused_conv_pixel_shuffle(x, kernel, bias, scale, tile=8, interpret=False):

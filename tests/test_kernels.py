@@ -103,3 +103,29 @@ class TestS2DConv:
         m = SpyNetBasicModule(use_s2d=True)
         out = m.apply(jax.jit(m.init)(jax.random.key(0), x), x)
         assert out.shape == (1, 7, 9, 2)
+
+
+class TestFusedConvSep:
+    @pytest.mark.parametrize("k", [3, 5, 7])
+    def test_matches_xla(self, rng, k):
+        from mobilesuperresolution_tpu.kernels.fused_convsep import fused_convsep
+
+        b, h, w, c, c_out = 1, 16, 20, 8, 16
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        wd = jnp.asarray(rng.standard_normal((k, k, c)).astype(np.float32) * 0.2)
+        bd = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+        wp = jnp.asarray(rng.standard_normal((c, c_out)).astype(np.float32) * 0.2)
+        bp = jnp.asarray(rng.standard_normal((c_out,)).astype(np.float32))
+
+        got = fused_convsep(x, wd, bd, wp, bp, tile=8, interpret=True)
+
+        dw = jax.lax.conv_general_dilated(
+            x,
+            wd[..., None].transpose(0, 1, 3, 2),  # (k,k,1,C) depthwise HWIO
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+        want = jnp.maximum(dw + bd, 0.0) @ wp + bp
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
