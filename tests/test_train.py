@@ -172,3 +172,12 @@ def test_patch_eval_tv_statistics():
     )
     assert result.shape[0] == 4 and result.shape[1] > 0
     assert np.isfinite(result).all()
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (1, 3, 128, 128, 3)
+    assert np.isfinite(np.asarray(out)).all()
