@@ -10,7 +10,6 @@ Semantics kept: L1 loss, Adam + MultiStepLR([E/2, 9E/10], γ=0.3)
 the mesh 'data' axis (replacing DDP, SURVEY §5.8); real --resume.
 """
 
-import functools
 import time
 
 import numpy as np

@@ -8,7 +8,6 @@ numpy path when the shared library hasn't been built (``make -C native``).
 
 import ctypes
 import functools
-import math
 import os
 
 import numpy as np

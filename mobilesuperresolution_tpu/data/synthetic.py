@@ -4,7 +4,6 @@ reference lacks, SURVEY §4)."""
 
 import numpy as np
 
-from mobilesuperresolution_tpu.core import modes
 from mobilesuperresolution_tpu.data.imresize import imresize_np
 from mobilesuperresolution_tpu.data.isr import ImageSRBicubicDataset
 from mobilesuperresolution_tpu.data.vsr import VideoSRDataset

@@ -10,7 +10,6 @@ TPU-native toolchain is:
 Default export input is 360x540 like the reference (NHWC here).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

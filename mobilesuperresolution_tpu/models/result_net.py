@@ -10,7 +10,7 @@ Faithful quirks kept: the forward subtracts image_mean but never adds it back
 the supernet's two-conv form).
 """
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ The reference mixes both conventions:
 
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -8,7 +8,7 @@ The reference's --resume flag never loads anything (pretrain.py:313, SURVEY
 """
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ The reference's out-of-scope ``hr_each`` in the image-branch bilinear SSIM
 """
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np

@@ -70,10 +70,11 @@ def test_latency_table_and_estimators(tmp_path):
 
 
 class TestS2DConv:
-    def test_conv7_via_s2d_exact(self, rng):
+    @pytest.mark.parametrize("factor", [2, 4])
+    def test_conv7_via_s2d_exact(self, rng, factor):
         from mobilesuperresolution_tpu.ops.s2d_conv import conv7_via_s2d
 
-        x = jnp.asarray(rng.standard_normal((2, 16, 20, 8)).astype(np.float32))
+        x = jnp.asarray(rng.standard_normal((2, 16, 24, 8)).astype(np.float32))
         w = jnp.asarray(rng.standard_normal((7, 7, 8, 32)).astype(np.float32) * 0.1)
         b = jnp.asarray(rng.standard_normal((32,)).astype(np.float32))
         want = (
@@ -82,7 +83,7 @@ class TestS2DConv:
             )
             + b
         )
-        got = conv7_via_s2d(x, w, b)
+        got = conv7_via_s2d(x, w, b, factor=factor)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
     def test_spynet_module_fast_matches_direct(self, rng):
