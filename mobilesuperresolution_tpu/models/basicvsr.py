@@ -77,9 +77,13 @@ class _PropagationStep(nn.Module):
         return feat_prop, feat_prop
 
 
-def _scan_propagation(num_feat, num_block, name):
+def _scan_propagation(num_feat, num_block, name, remat=False):
+    """remat=True recomputes each step's trunk in the backward pass instead of
+    storing its activations — O(T) → O(1) activation memory in clip length,
+    the standard trade for long-clip training (SURVEY §5.7)."""
+    step = nn.remat(_PropagationStep) if remat else _PropagationStep
     return nn.scan(
-        _PropagationStep,
+        step,
         variable_broadcast="params",
         split_rngs={"params": False},
         in_axes=0,
@@ -94,6 +98,7 @@ class BasicVSRBase(nn.Module):
     num_block: int = 15
     scale: int = 4
     compute_dtype: Any = jnp.float32
+    remat: bool = False
 
     def _flows(self, x):
         """x: (B, T, H, W, C) → (flows_forward, flows_backward), each
@@ -127,15 +132,15 @@ class BasicVSRBase(nn.Module):
         # backward: scan over reversed time. Step j>=1 processes frame
         # i=T-1-j with flows_backward[i] (basicvsr_arch.py:70-74).
         bwd_flows = jnp.concatenate([dummy, flows_backward[::-1]], axis=0)
-        _, out_b = _scan_propagation(self.num_feat, self.num_block, "backward_trunk")(
-            init, (xt[::-1], bwd_flows)
-        )
+        _, out_b = _scan_propagation(
+            self.num_feat, self.num_block, "backward_trunk", self.remat
+        )(init, (xt[::-1], bwd_flows))
         out_b = out_b[::-1]  # back to forward time order
 
         fwd_flows = jnp.concatenate([dummy, flows_forward], axis=0)
-        _, out_f = _scan_propagation(self.num_feat, self.num_block, "forward_trunk")(
-            init, (xt, fwd_flows)
-        )
+        _, out_f = _scan_propagation(
+            self.num_feat, self.num_block, "forward_trunk", self.remat
+        )(init, (xt, fwd_flows))
         return jnp.moveaxis(out_b, 0, 1), jnp.moveaxis(out_f, 0, 1)
 
 

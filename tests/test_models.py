@@ -161,3 +161,23 @@ def test_naive_multi_v1(tmp_path):
     params = m.init(jax.random.key(0), x)
     out = m.apply(params, x)
     assert out.shape == (1, 3, 48, 48, 3)
+
+
+def test_basicvsr_remat_grads_match():
+    """remat=True must give identical grads to remat=False (same params)."""
+    from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((1, 3, 8, 8, 3)), dtype=jnp.float32
+    )
+    m_plain = BasicVSR(num_feat=8, num_block=1, scale=4)
+    m_remat = BasicVSR(num_feat=8, num_block=1, scale=4, remat=True)
+    vs = jax.jit(m_plain.init, static_argnums=(2, 3))(jax.random.key(0), x, 32, 32)
+
+    def loss(m, p):
+        return jnp.mean(jnp.abs(m.apply({"params": p}, x, 32, 32)))
+
+    g1 = jax.grad(lambda p: loss(m_plain, p))(vs["params"])
+    g2 = jax.grad(lambda p: loss(m_remat, p))(vs["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
