@@ -130,3 +130,31 @@ class TestFusedConvSep:
         )
         want = jnp.maximum(dw + bd, 0.0) @ wp + bp
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+class TestFusedWDSRBlock:
+    def test_matches_xla(self, rng):
+        from mobilesuperresolution_tpu.kernels.fused_wdsr_block import fused_wdsr_block
+
+        b, h, w, c = 1, 16, 20, 8
+        c_exp, c_mid, k = 6 * c, 6, 3
+        x = jnp.asarray(rng.standard_normal((b, h, w, c)).astype(np.float32))
+        w1 = jnp.asarray(rng.standard_normal((c, c_exp)).astype(np.float32) * 0.2)
+        b1 = jnp.asarray(rng.standard_normal((c_exp,)).astype(np.float32))
+        w2 = jnp.asarray(rng.standard_normal((c_exp, c_mid)).astype(np.float32) * 0.2)
+        b2 = jnp.asarray(rng.standard_normal((c_mid,)).astype(np.float32))
+        w3 = jnp.asarray(rng.standard_normal((k, k, c_mid, c)).astype(np.float32) * 0.2)
+        b3 = jnp.asarray(rng.standard_normal((c,)).astype(np.float32))
+
+        got = fused_wdsr_block(x, w1, b1, w2, b2, w3, b3, tile=8, interpret=True)
+
+        h1 = jnp.maximum(x @ w1 + b1, 0.0)
+        h2 = h1 @ w2 + b2
+        y = (
+            jax.lax.conv_general_dilated(
+                h2, w3, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+            + b3
+        )
+        want = x + y
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
