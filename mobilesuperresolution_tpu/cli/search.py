@@ -57,6 +57,13 @@ def add_search_args(parser):
     parser.add_argument("--differentiable_speed", action="store_true",
                         help="Make the latency estimate STE-differentiable "
                         "(the reference leaves it no-grad).")
+    parser.add_argument("--speed_table", type=str, default=None,
+                        help="Path to a measured (N,4) latency-table .npy from "
+                        "kernels/timing.py; replaces the analytic fallback "
+                        "with on-TPU measurements.")
+    parser.add_argument("--build_speed_table", action="store_true",
+                        help="Run the on-TPU timing harness first and use the "
+                        "resulting table (written to <job_dir>/speed_table.npy).")
     parser.add_argument("--log_steps", type=int, default=100)
 
 
@@ -86,6 +93,31 @@ def main(argv=None):
         gamma=0.5,
     )
 
+    speed_table = None
+    if params.build_speed_table:
+        import os
+
+        from mobilesuperresolution_tpu.kernels.timing import build_latency_table
+
+        table_path = os.path.join(params.job_dir, "speed_table.npy")
+        logging.info("building measured latency table on-TPU ...")
+        rows = build_latency_table(
+            ch_in_choices=(params.num_residual_units,),
+            out_path=table_path,
+        )
+        params.speed_table = table_path
+        logging.info(f"latency table ({rows.shape[0]} rows) → {table_path}")
+    if params.speed_table:
+        import numpy as _np
+
+        from mobilesuperresolution_tpu.nas.speed_estimator import densify_speed_table
+
+        rows = _np.load(params.speed_table)
+        speed_table = jnp.asarray(
+            densify_speed_table(rows, max_ch=params.num_residual_units)
+        )
+        logging.info(f"using measured latency table from {params.speed_table}")
+
     sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
     variables = jax.jit(model.init)(jax.random.key(params.seed), sample)
     base_params = variables["params"]
@@ -109,7 +141,7 @@ def main(argv=None):
         state = create_train_state(model, jax.random.key(params.seed), sample, tx)
         state = state.replace(params=base_params)
         step = make_search_step(
-            state, speed_loss, params.weight_sr_l1, params.weight_speed
+            state, speed_loss, params.weight_sr_l1, params.weight_speed, speed_table
         )
 
         with mesh:

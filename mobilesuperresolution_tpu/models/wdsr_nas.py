@@ -79,7 +79,7 @@ class SplitBlock(nn.Module):
     differentiable_speed: bool = False
 
     @nn.compact
-    def __call__(self, x, mask_w, speed_accu):
+    def __call__(self, x, mask_w, speed_accu, speed_table=None):
         r = self.num_residual_units
         split_w = self.param("split_w", gate_init, (r,), jnp.float32)
         alpha = self.param("alpha", _uniform_init(0.5, 1.5), (3,), jnp.float32)
@@ -88,7 +88,11 @@ class SplitBlock(nn.Module):
         alpha2 = self.param("alpha2", _uniform_init(0.8, 1.0), (), jnp.float32)
 
         speed_curr = block_speed_from_gates(
-            mask_w, split_w, alpha, differentiable=self.differentiable_speed
+            mask_w,
+            split_w,
+            alpha,
+            differentiable=self.differentiable_speed,
+            speed_table=speed_table,
         )
 
         dt = x.dtype
@@ -127,7 +131,10 @@ class NASModel(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, speed_table=None):
+        """speed_table: optional dense (3, C+1, C+1) measured-latency table
+        (nas.speed_estimator.densify_speed_table) — switches the latency
+        model from the analytic fallback to on-TPU measurements."""
         in_dtype = x.dtype
         r = self.num_residual_units
         num_outputs = self.scale * self.scale * self.num_channels
@@ -147,7 +154,7 @@ class NASModel(nn.Module):
                 r,
                 differentiable_speed=self.differentiable_speed,
                 name=f"block_{i}",
-            )(y, mask_w, speed_accu)
+            )(y, mask_w, speed_accu, speed_table)
         if self.width_search:
             y = y * m
         y = WNConv(num_outputs, 3, g_init=1.0, name="tail")(y)

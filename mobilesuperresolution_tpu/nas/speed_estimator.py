@@ -34,8 +34,16 @@ def analytic_block_speed(ch_mask, ch_split, kernel):
     return (ch_split + 0.2 * ch_mask) * (kernel * kernel) / 40.0
 
 
-def block_speed_from_gates(mask_w, split_w, alpha, differentiable=False):
-    """Per-block latency estimate from the gate parameters (scalar, ms)."""
+def block_speed_from_gates(mask_w, split_w, alpha, differentiable=False, speed_table=None):
+    """Per-block latency estimate from the gate parameters (scalar, ms).
+
+    speed_table: optional (3, C+1, C+1) array of measured per-kernel latencies
+    indexed [kernel_idx, ch_split, ch_mask] (densified from the on-TPU timing
+    harness via ``densify_speed_table``) — the measured path the reference
+    left TODO-disabled (speed_estimator.py:70-73). Channel counts index the
+    table (non-differentiable, like the reference's no-grad counts); with
+    ``differentiable=True`` the alphas stay live either way.
+    """
     if differentiable:
         ch0 = jnp.sum(binary_mask(mask_w, least_channel=8))
         ch1 = jnp.sum(binary_mask(split_w, least_channel=8))
@@ -44,12 +52,30 @@ def block_speed_from_gates(mask_w, split_w, alpha, differentiable=False):
         ch0 = jax.lax.stop_gradient(jnp.sum(rounding(mask_w, 8)))
         ch1 = jax.lax.stop_gradient(jnp.sum(rounding(split_w, 8)))
         a = jax.lax.stop_gradient(alpha)
-    ks = jnp.asarray(KERNEL_CHOICES, jnp.float32)
-    speeds = analytic_block_speed(ch0, ch1, ks)  # (3,)
+    if speed_table is not None:
+        i0 = jax.lax.stop_gradient(ch0).astype(jnp.int32)
+        i1 = jax.lax.stop_gradient(ch1).astype(jnp.int32)
+        speeds = speed_table[:, i1, i0]  # (3,)
+    else:
+        ks = jnp.asarray(KERNEL_CHOICES, jnp.float32)
+        speeds = analytic_block_speed(ch0, ch1, ks)  # (3,)
     out = jnp.sum(speeds * a)
     if not differentiable:
         out = jax.lax.stop_gradient(out)
     return out
+
+
+def densify_speed_table(rows, max_ch):
+    """(N, 4) measured rows [ch_in, ch_split, kernel, ms] → dense
+    (3, max_ch+1, max_ch+1) table [kernel_idx, ch_split, ch_mask] by
+    nearest-config lookup, ready for in-model use."""
+    est = TableSpeedEstimator(rows)
+    table = np.zeros((len(KERNEL_CHOICES), max_ch + 1, max_ch + 1), np.float32)
+    for ki, k in enumerate(KERNEL_CHOICES):
+        for ch1 in range(max_ch + 1):
+            for ch0 in range(max_ch + 1):
+                table[ki, ch1, ch0] = est(ch0, ch1, k)
+    return table
 
 
 def get_ori_speed(num_blocks=4, num_residual_units=12):

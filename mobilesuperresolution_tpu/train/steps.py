@@ -43,10 +43,11 @@ def make_sisr_step(state):
     return step
 
 
-def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1):
+def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1, speed_table=None):
     """NAS search step: L1 + SpeedLoss on the traced latency
     (search.py:71-81). ``speed_target`` is a per-epoch scalar from the
-    SpeedScheduler, passed per call."""
+    SpeedScheduler, passed per call. ``speed_table`` optionally switches the
+    latency model to on-TPU measurements (closed over; replicated constant)."""
 
     @functools.partial(
         jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,)
@@ -56,7 +57,7 @@ def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1):
         lr_img, hr_img = batch
 
         def loss_fn(p):
-            sr, speed_accu = apply_fn({"params": p}, lr_img)
+            sr, speed_accu = apply_fn({"params": p}, lr_img, speed_table)
             l1 = l1_loss(sr, hr_img)
             sp = speed_loss(speed_accu, speed_target, gamma=weight_speed)
             return weight_sr_l1 * l1 + sp, (l1, sp, speed_accu)

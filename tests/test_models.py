@@ -181,3 +181,21 @@ def test_basicvsr_remat_grads_match():
     g2 = jax.grad(lambda p: loss(m_remat, p))(vs["params"])
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_nas_model_with_measured_speed_table():
+    from mobilesuperresolution_tpu.nas.speed_estimator import densify_speed_table
+
+    rows = np.asarray(
+        [[16, 8, 3, 1.0], [16, 16, 3, 2.0], [16, 8, 7, 5.0], [16, 16, 7, 9.0],
+         [16, 8, 5, 3.0], [16, 16, 5, 4.0]],
+        np.float32,
+    )
+    table = jnp.asarray(densify_speed_table(rows, max_ch=16))
+    m = NASModel(num_blocks=2, num_residual_units=16, scale=2)
+    vs = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    out, speed_tab = m.apply(vs, jnp.ones((1, 8, 8, 3)) * 0.4, table)
+    _, speed_analytic = m.apply(vs, jnp.ones((1, 8, 8, 3)) * 0.4)
+    assert out.shape == (1, 16, 16, 3)
+    assert float(speed_tab) > 0
+    assert abs(float(speed_tab) - float(speed_analytic)) > 1e-3  # different model
