@@ -30,7 +30,10 @@ def synthetic_image(seed, hw=(128, 128), textured=True):
 
 class SyntheticISRDataset(ImageSRBicubicDataset):
     def __init__(self, mode, params, num_images=8, hw=(128, 128)):
-        self._images = [synthetic_image(i, hw) for i in range(num_images)]
+        textured = bool(getattr(params, "synthetic_textured", True))
+        self._images = [
+            synthetic_image(i, hw, textured=textured) for i in range(num_images)
+        ]
         hr_files = [(f"synth_{i}", None) for i in range(num_images)]
         super().__init__(mode, params, hr_files)
 

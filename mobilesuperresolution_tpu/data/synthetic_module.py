@@ -14,6 +14,12 @@ def bind(name):
 
         def update_argparser(parser):
             _isr.update_argparser(parser)
+            parser.add_argument(
+                "--synthetic_textured",
+                type=lambda v: v.lower() != "false",
+                default=True,
+                help="False = noise-free synthetic images (fully learnable).",
+            )
             parser.set_defaults(num_patches=4, train_batch_size=8)
 
         def get_dataset(mode, params):
