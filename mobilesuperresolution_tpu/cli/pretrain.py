@@ -101,6 +101,7 @@ def main(argv=None):
                 shuffle=True,
                 seed=params.seed + epoch,
                 drop_last=True,
+                shard_by_process=True,
             ):
                 state, metrics = step(state, shard_batch(mesh, batch))
                 meter.update(float(metrics["loss"]))

@@ -31,6 +31,9 @@ def main(argv=None):
     params, dataset_module = parse_with_plugins(parser, argv, with_models=False)
     logging = LoggingTool(params.job_dir)
     logging.info(attr_extractor(params))
+    if params.debug:
+        # the reference's --debug anomaly detection (search.py:224-228)
+        jax.config.update("jax_debug_nans", True)
 
     mesh = make_mesh(spatial=1)
     dtype = jnp.bfloat16 if params.bf16 else jnp.float32
@@ -62,6 +65,7 @@ def main(argv=None):
                 shuffle=True,
                 seed=params.seed + epoch,
                 drop_last=True,
+                shard_by_process=True,
             ):
                 state, metrics = step(state, shard_batch(mesh, batch))
                 meter.update(float(metrics["loss"]))

@@ -76,6 +76,9 @@ def main(argv=None):
         params.width_search = True  # canonical configuration (SURVEY §2.2 #8)
     logging = LoggingTool(params.job_dir)
     logging.info(attr_extractor(params))
+    if params.debug:
+        # the reference's --debug anomaly detection (search.py:224-228)
+        jax.config.update("jax_debug_nans", True)
 
     mesh = make_mesh(spatial=1)
     model = get_model(params)
@@ -138,8 +141,18 @@ def main(argv=None):
             n_epochs,
             trainable_mask=mask,
         )
-        state = create_train_state(model, jax.random.key(params.seed), sample, tx)
-        state = state.replace(params=base_params)
+        # build the state directly on the carried params — create_train_state
+        # would re-run (and re-compile) the whole supernet init per phase only
+        # to discard its params
+        from mobilesuperresolution_tpu.train.state import TrainState
+
+        state = TrainState(
+            step=0,
+            params=base_params,
+            opt_state=tx.init(base_params),
+            tx=tx,
+            apply_fn=model.apply,
+        )
         step = make_search_step(
             state, speed_loss, params.weight_sr_l1, params.weight_speed, speed_table
         )
@@ -161,6 +174,7 @@ def main(argv=None):
                         shuffle=True,
                         seed=params.seed + epoch,
                         drop_last=True,
+                        shard_by_process=True,
                     )
                 ):
                     state, metrics = step(

@@ -57,16 +57,19 @@ def add_vsr_args(parser):
 
 def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
     results = {}
+    # ONE jitted forward shared across batches/datasets — a fresh jit wrapper
+    # per batch would recompile the recurrent model for every clip.
+    jitted = jax.jit(
+        lambda p, x, oh, ow: model.apply({"params": p}, x, oh, ow),
+        static_argnums=(2, 3),
+    )
+
+    def fwd(lr_clip, oh, ow):
+        return jitted(state.params, lr_clip, oh, ow)
+
     for name, mod in eval_mods:
         ds = mod.get_dataset(modes.EVAL, params)
         batches = batch_iterator(ds, 1)
-
-        def fwd(lr_clip, oh, ow):
-            return jax.jit(
-                lambda p, x: model.apply({"params": p}, x, oh, ow),
-                static_argnums=(),
-            )(state.params, lr_clip)
-
         res = evaluate(
             fwd,
             batches,
@@ -90,6 +93,9 @@ def main(argv=None):
     params, dataset_module = parse_with_plugins(parser, argv, with_models=False)
     logging = LoggingTool(params.job_dir)
     logging.info(attr_extractor(params))
+    if params.debug:
+        # the reference's --debug anomaly detection (search.py:224-228)
+        jax.config.update("jax_debug_nans", True)
 
     mesh = make_mesh(spatial=1)
     dtype = jnp.bfloat16 if params.bf16 else jnp.float32
@@ -152,6 +158,7 @@ def main(argv=None):
                 shuffle=True,
                 seed=params.seed + epoch,
                 drop_last=True,
+                shard_by_process=True,
             ):
                 state, metrics = step(state, shard_batch(mesh, batch))
                 meter.update(float(metrics["loss"]))

@@ -149,9 +149,9 @@ def _batches(dataset, batch_size, shuffle, seed, drop_last, shard_by_process=Fal
         import jax
 
         order = order[jax.process_index() :: jax.process_count()]
-    for start in range(0, n, batch_size):
+    for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]
-        if drop_last and len(idx) < batch_size:
+        if len(idx) == 0 or (drop_last and len(idx) < batch_size):
             return
         items = [dataset[int(i)] for i in idx]
         if isinstance(items[0], tuple) and len(items[0]) == 3:

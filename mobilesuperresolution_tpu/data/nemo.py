@@ -22,6 +22,10 @@ HR_SHAPE = (1080, 1920, 3)
 def update_argparser(parser):
     _vsr.update_argparser(parser)
     parser.add_argument("--val_image_batch", default=100, type=int)
+    parser.add_argument("--raw_order", default="rgb", choices=["rgb", "bgr"],
+                        help="Channel order of .raw frames: 'rgb' for "
+                        "data/yuv.py output, 'bgr' for the reference "
+                        "converter's rawfiles.")
     parser.set_defaults(
         num_channels=3, num_patches=1000, train_batch_size=16, eval_batch_size=1
     )
@@ -36,15 +40,20 @@ def list_raw_windows(d, mode, image_batch):
 
 
 class NemoDataset(_vsr.VideoSRDataset):
-    def __init__(self, mode, params, lr_windows, hr_windows):
+    """raw_order: 'rgb' for frames from this repo's converter (data/yuv.py
+    writes RGB), 'bgr' for rawfiles produced by the reference's
+    yuv420_to_bgr.py (channel-reversed on read)."""
+
+    def __init__(self, mode, params, lr_windows, hr_windows, raw_order="rgb"):
         super().__init__(mode, params, lr_windows, hr_windows, cache_dir=None)
+        assert raw_order in ("rgb", "bgr")
+        self.raw_order = raw_order
 
     def _load_frame(self, key, path):
         if path.endswith(".raw"):
             shape = LR_SHAPE if "lr" in path.lower() or "240" in path else HR_SHAPE
-            arr = np.fromfile(path, dtype=np.uint8)
-            # BGR raw → RGB
-            return arr.reshape(shape)[..., ::-1]
+            arr = np.fromfile(path, dtype=np.uint8).reshape(shape)
+            return arr[..., ::-1] if self.raw_order == "bgr" else arr
         return super()._load_frame(key, path)
 
 
@@ -65,4 +74,7 @@ def get_dataset(mode, params):
                 w = csv.writer(fh)
                 for win in windows:
                     w.writerow([p for _, p in win])
-    return NemoDataset(mode, params, lr_windows, hr_windows)
+    return NemoDataset(
+        mode, params, lr_windows, hr_windows,
+        raw_order=getattr(params, "raw_order", "rgb"),
+    )

@@ -58,10 +58,15 @@ class RedsWithMVDataset(_vsr.VideoSRDataset):
         lr = np.concatenate([lr, mv], axis=-1)  # (T, h, w, 5)
 
         if self.mode == modes.TRAIN:
-            if p1 < 0.5:
-                lr, hr = lr[:, :, ::-1], hr[:, :, ::-1]
-            if p2 < 0.5:
-                lr, hr = lr[:, ::-1], hr[:, ::-1]
+            # flips must also NEGATE the motion-vector displacement component
+            # along the flipped axis (channels 3=dx, 4=dy): a mirrored pixel
+            # that moved +dx now moves -dx in the mirrored clip.
+            if p1 < 0.5:  # horizontal (width) flip
+                lr, hr = lr[:, :, ::-1].copy(), hr[:, :, ::-1]
+                lr[..., 3] = -lr[..., 3]
+            if p2 < 0.5:  # vertical (height) flip
+                lr, hr = lr[:, ::-1].copy(), hr[:, ::-1]
+                lr[..., 4] = -lr[..., 4]
             return np.ascontiguousarray(lr), np.ascontiguousarray(hr)
 
         key0 = self.lr_windows[index][0][0]

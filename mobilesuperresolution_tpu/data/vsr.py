@@ -74,13 +74,16 @@ class VideoSRDataset:
         lr_list, hr_list = self._load_item(index)
         p = self.params
         p1, p2 = self.rng.random(), self.rng.random()
-        b = p.ignored_boundary_size
-        h0, w0 = lr_list[0].shape[:2]
-        if h0 <= 68:
-            x = 0
-        else:
-            x = int(self.rng.integers(b, h0 - p.lr_patch_size + 1 - b))
-        y = int(self.rng.integers(b, w0 - p.lr_patch_size + 1 - b))
+        if self.mode == modes.TRAIN and getattr(p, "train_sample_patch", True):
+            # patch coordinates are only meaningful (and only valid —
+            # eval frames may be smaller than the patch) in TRAIN mode
+            b = p.ignored_boundary_size
+            h0, w0 = lr_list[0].shape[:2]
+            if h0 <= 68:
+                x = 0
+            else:
+                x = int(self.rng.integers(b, h0 - p.lr_patch_size + 1 - b))
+            y = int(self.rng.integers(b, w0 - p.lr_patch_size + 1 - b))
 
         lrs, hrs = [], []
         for lr, hr in zip(lr_list, hr_list):

@@ -21,6 +21,7 @@ import numpy as np
 from mobilesuperresolution_tpu.ops.layers import (
     depth_to_space,
     space_to_depth,
+    torch_bias_init,
     torch_conv_init,
 )
 from mobilesuperresolution_tpu.ops.resize import avg_pool_2x2, replicate_pad_hw, resize_bilinear
@@ -52,13 +53,8 @@ class SpyNetBasicModule(nn.Module):
             kernels.append(
                 self.param(f"conv{i}_kernel", torch_conv_init, (7, 7, cin, cout))
             )
-            bound = 1.0 / np.sqrt(cin * 49)
             biases.append(
-                self.param(
-                    f"conv{i}_bias",
-                    nn.initializers.uniform(scale=2 * bound),
-                    (cout,),
-                )
+                self.param(f"conv{i}_bias", torch_bias_init(cin * 49), (cout,))
             )
 
         even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0

@@ -14,11 +14,26 @@ from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 from einops import rearrange
 
 # Matches torch's Conv2d default kaiming_uniform(a=sqrt(5)):
 # Uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)).
 torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in):
+    """torch's conv bias default: CENTERED Uniform(-1/sqrt(fan_in),
+    +1/sqrt(fan_in)). (flax's nn.initializers.uniform samples [0, scale) —
+    using it would bias every conv positive.)"""
+    import jax
+
+    bound = float(1.0 / np.sqrt(fan_in))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 class WNConv(nn.Module):
@@ -78,7 +93,6 @@ class PlainConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         fan_in = (x.shape[-1] // self.feature_group_count) * self.kernel_size**2
-        bound = 1.0 / jnp.sqrt(fan_in)
         y = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -86,9 +100,7 @@ class PlainConv(nn.Module):
             use_bias=self.use_bias,
             feature_group_count=self.feature_group_count,
             kernel_init=torch_conv_init,
-            bias_init=nn.initializers.uniform(scale=2 * bound)
-            if self.use_bias
-            else nn.initializers.zeros,
+            bias_init=torch_bias_init(fan_in) if self.use_bias else nn.initializers.zeros,
             dtype=x.dtype,
         )(x)
         return y

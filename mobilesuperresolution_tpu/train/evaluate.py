@@ -104,11 +104,14 @@ def evaluate(
             res.psnr += float(psnr(sr, hr, shave=4))
             res.loss += float(charbonnier_loss(sr, hr)) * t * b
             if compute_ssim:
-                for i in range(t):
-                    res.ssim += ssim_np(np.asarray(sr[0, i]), np.asarray(hr[0, i]), shave=4)
-                    res.bilinear_ssim += ssim_np(
-                        np.asarray(baseline[0, i]), np.asarray(hr[0, i]), shave=4
-                    )
+                for bi in range(b):
+                    for i in range(t):
+                        res.ssim += ssim_np(
+                            np.asarray(sr[bi, i]), np.asarray(hr[bi, i]), shave=4
+                        )
+                        res.bilinear_ssim += ssim_np(
+                            np.asarray(baseline[bi, i]), np.asarray(hr[bi, i]), shave=4
+                        )
             if save and job_dir is not None:
                 for i in range(t):
                     base = f"{name}{i:03d}.png"

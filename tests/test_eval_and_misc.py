@@ -138,3 +138,64 @@ def test_metrics_writer(tmp_path):
     lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
     assert lines[0]["tag"] == "loss" and lines[1]["tag"] == "set5/PSNR"
     assert len(lines) == 3
+
+
+def test_batch_iterator_shard_by_process():
+    """Single-process: sharding is identity; loop bound must follow the
+    sharded length (found by review: empty-slice IndexError)."""
+    from mobilesuperresolution_tpu.data.isr import batch_iterator
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return np.zeros((4, 4, 3), np.float32), np.zeros((8, 8, 3), np.float32)
+
+    batches = list(batch_iterator(DS(), 4, shard_by_process=True, prefetch=0))
+    assert len(batches) == 3  # 4+4+2, no crash on the tail
+
+
+def test_mv_flip_negates_displacements(tmp_path, rng):
+    """Flipping an MV clip must negate the flipped displacement component."""
+    import os
+
+    from mobilesuperresolution_tpu.data.reds_with_mv import RedsWithMVDataset
+    from mobilesuperresolution_tpu.core import modes
+
+    clip = tmp_path / "000"
+    mvdir = clip / "hex-me16-ref1"
+    os.makedirs(mvdir)
+    from PIL import Image
+
+    t, h, w = 2, 32, 32
+    frames = []
+    for i in range(t):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(clip / f"{i:08d}.png")
+        frames.append((f"000/{i:08d}.png", str(clip / f"{i:08d}.png")))
+    hr_clip = tmp_path / "hr000"
+    os.makedirs(hr_clip)
+    hr_frames = []
+    for i in range(t):
+        img = (rng.random((h * 4, w * 4, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(hr_clip / f"{i:08d}.png")
+        hr_frames.append((f"hr000/{i:08d}.png", str(hr_clip / f"{i:08d}.png")))
+    mv = np.ones((t, h, w, 2), np.float32) * 3.0
+    np.save(mvdir / "motion.npy", mv)
+
+    class P:
+        scale = 4
+        lr_patch_size = 8
+        ignored_boundary_size = 2
+        num_patches = 1
+        seed = 0
+        train_sample_patch = True
+
+    ds = RedsWithMVDataset(modes.TRAIN, P(), [frames], [hr_frames])
+    signs = set()
+    for i in range(8):
+        lr, hr = ds[0]
+        signs.add((float(np.sign(lr[0, 0, 0, 3])), float(np.sign(lr[0, 0, 0, 4]))))
+        assert abs(abs(float(lr[0, 0, 0, 3])) - 3.0) < 1e-6
+    assert len(signs) > 1  # flips produced negated displacements
