@@ -26,6 +26,8 @@ def main(argv=None):
     parser.add_argument(
         "--format", nargs="+", default=["stablehlo"], choices=["stablehlo", "tflite"]
     )
+    parser.add_argument("--quantize", action="store_true",
+                        help="int8 dynamic-range quantization for tflite.")
     # reference export input 1x3x360x540 (export_onnx.py:138-141) — NHWC here
     parser.add_argument("--height", type=int, default=360)
     parser.add_argument("--width", type=int, default=540)
@@ -42,7 +44,9 @@ def main(argv=None):
         if fmt == "stablehlo":
             p = export_stablehlo(model.apply, params, shape, args.out + ".stablehlo")
         else:
-            p = export_tflite(model.apply, params, shape, args.out + ".tflite")
+            p = export_tflite(
+                model.apply, params, shape, args.out + ".tflite", quantize=args.quantize
+            )
         print(f"exported {fmt} → {p}")
 
 

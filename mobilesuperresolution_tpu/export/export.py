@@ -30,8 +30,12 @@ def export_stablehlo(apply_fn, params, input_shape, path):
     return path
 
 
-def export_tflite(apply_fn, params, input_shape, path):
-    """Convert the forward to a .tflite flatbuffer (CPU mobile deployment)."""
+def export_tflite(apply_fn, params, input_shape, path, quantize=False):
+    """Convert the forward to a .tflite flatbuffer (CPU mobile deployment).
+
+    quantize=True enables post-training dynamic-range quantization (int8
+    weights) — the mobile-compiler role of the reference's parsed-but-unused
+    clip_* quantization flags (models/__init__.py:22-29)."""
     try:
         import tensorflow as tf
         from jax.experimental import jax2tf
@@ -51,6 +55,8 @@ def export_tflite(apply_fn, params, input_shape, path):
         tf.lite.OpsSet.TFLITE_BUILTINS,
         tf.lite.OpsSet.SELECT_TF_OPS,
     ]
+    if quantize:
+        converter.optimizations = [tf.lite.Optimize.DEFAULT]
     blob = converter.convert()
     with open(path, "wb") as f:
         f.write(blob)

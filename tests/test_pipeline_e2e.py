@@ -91,3 +91,25 @@ def test_export_stablehlo_from_artifact(search_job, tmp_path):
         exported = jax_export.deserialize(f.read())
     y = exported.call(jnp.zeros(shape))
     assert y.shape == (1, 48, 48, 3)
+
+
+def test_export_tflite_quantized_roundtrip(search_job, tmp_path):
+    """TFLite export (+ int8 dynamic-range quantization) runs in the TFLite
+    interpreter — the mobile-deployment path that closes the NAS loop."""
+    tf = pytest.importorskip("tensorflow")
+    from mobilesuperresolution_tpu.export import export_tflite
+
+    model = ResultNet.from_artifact(str(search_job), scale=2)
+    shape = (1, 16, 16, 3)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros(shape))
+    path = export_tflite(
+        model.apply, variables["params"], shape, str(tmp_path / "m.tflite"),
+        quantize=True,
+    )
+    interp = tf.lite.Interpreter(model_path=path)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    out = interp.get_output_details()[0]
+    interp.set_tensor(inp["index"], np.random.rand(*shape).astype(np.float32))
+    interp.invoke()
+    assert interp.get_tensor(out["index"]).shape == (1, 32, 32, 3)
