@@ -1,0 +1,138 @@
+"""File-based dataset walkers: directory-structure → window/file-list logic,
+using fake on-disk trees with tiny PNGs."""
+
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from mobilesuperresolution_tpu.core import modes
+
+
+def _png(path, hw=(16, 16)):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(
+        (rng.random((*hw, 3)) * 255).astype(np.uint8)
+    ).save(path)
+
+
+def _params(tmp_path, **kw):
+    base = dict(
+        data_dir=str(tmp_path),
+        cache_dir=None,
+        scale=4,
+        lr_patch_size=4,
+        ignored_boundary_size=1,
+        num_patches=2,
+        image_batch=3,
+        val_image_batch=5,
+        train_sample_patch=True,
+        seed=0,
+    )
+    base.update(kw)
+    return SimpleNamespace(**base)
+
+
+class TestREDSWalker:
+    def test_sliding_windows_per_clip(self, tmp_path):
+        from mobilesuperresolution_tpu.data.reds import list_clip_windows
+
+        for clip in ("000", "001"):
+            for f in range(6):
+                _png(tmp_path / "lr" / clip / f"{f:08d}.png")
+        windows = list_clip_windows(str(tmp_path / "lr"), image_batch=3)
+        # 2 clips × (6 - 3 + 1) windows
+        assert len(windows) == 8
+        assert all(len(w) == 3 for w in windows)
+        keys = [k for k, _ in windows[0]]
+        assert keys == ["000/00000000.png", "000/00000001.png", "000/00000002.png"]
+
+    def test_get_dataset_train(self, tmp_path):
+        from mobilesuperresolution_tpu.data import reds
+
+        for split, sub in (("train", "train_sharp_bicubic/X4"), ("train", "train_sharp")):
+            for clip in ("000",):
+                for f in range(4):
+                    hw = (16, 16) if "bicubic" in sub else (64, 64)
+                    _png(tmp_path / "REDS" / split / sub / clip / f"{f:08d}.png", hw)
+        ds = reds.get_dataset(modes.TRAIN, _params(tmp_path, lr_patch_size=8, ignored_boundary_size=2))
+        assert len(ds) == 2 * 2  # 2 windows × num_patches
+        lr, hr = ds[0]
+        assert lr.shape == (3, 8, 8, 3) and hr.shape == (3, 32, 32, 3)
+
+
+class TestVimeoWalker:
+    def test_sequence_windows_and_tag_filter(self, tmp_path):
+        from mobilesuperresolution_tpu.data.vimeo import list_sequence_windows
+
+        for seq in ("00001",):
+            for sub in ("0001", "0002"):
+                for i in range(3):
+                    _png(tmp_path / seq / sub / f"lr_{i}.png")
+                    _png(tmp_path / seq / sub / f"hr_{i}.png")
+        wins = list_sequence_windows(str(tmp_path), tag="lr")
+        assert len(wins) == 2
+        assert all(len(w) == 3 for w in wins)
+        assert all("lr" in k for w in wins for k, _ in w)
+        wins_all = list_sequence_windows(str(tmp_path), tag=None)
+        assert all(len(w) == 6 for w in wins_all)
+
+
+class TestNemoWalker:
+    def test_stride_windows(self, tmp_path):
+        from mobilesuperresolution_tpu.data.nemo import list_raw_windows
+
+        d = tmp_path / "lr"
+        os.makedirs(d)
+        for i in range(60):
+            (d / f"{i:04d}.raw").write_bytes(b"\x00")
+        train = list_raw_windows(str(d), modes.TRAIN, image_batch=10)
+        # stride 25: starts 0, 25, 50 → 50+10 > 60 excluded → 0, 25
+        assert len(train) == 3 if (60 + 1 - 10) > 50 else 2
+        ev = list_raw_windows(str(d), modes.EVAL, image_batch=10)
+        assert len(ev) == 6  # stride == image_batch
+
+    def test_raw_channel_order(self, tmp_path):
+        from mobilesuperresolution_tpu.data.nemo import LR_SHAPE, NemoDataset
+
+        frame = np.arange(np.prod(LR_SHAPE), dtype=np.uint8).reshape(LR_SHAPE)
+        p = tmp_path / "lr_0000.raw"
+        frame.tofile(p)
+        win = [("lr_0000.raw", str(p))]
+        ds_rgb = NemoDataset(modes.EVAL, _params(tmp_path), [win], [win], raw_order="rgb")
+        ds_bgr = NemoDataset(modes.EVAL, _params(tmp_path), [win], [win], raw_order="bgr")
+        a = ds_rgb._load_frame(*win[0])
+        b = ds_bgr._load_frame(*win[0])
+        np.testing.assert_array_equal(a, frame)
+        np.testing.assert_array_equal(b, frame[..., ::-1])
+
+
+class TestDiv2k:
+    def test_train_dataset(self, tmp_path):
+        from mobilesuperresolution_tpu.data import div2k
+
+        for i in range(2):
+            _png(tmp_path / "DIV2K" / "DIV2K_train_HR" / f"{i:04d}.png", (48, 48))
+        p = _params(tmp_path, scale=2, lr_patch_size=8, num_patches=3)
+        ds = div2k.get_dataset(modes.TRAIN, p)
+        assert len(ds) == 6
+        lr, hr = ds[0]
+        assert lr.shape == (8, 8, 3) and hr.shape == (16, 16, 3)
+
+
+class TestEvalSets:
+    def test_set5_walker(self, tmp_path):
+        from mobilesuperresolution_tpu.data import get_dataset_module
+
+        for name in ("baby.png", "bird.png"):
+            _png(tmp_path / "Set5" / name, (32, 32))
+        mod = get_dataset_module("set5")
+        ds = mod.get_dataset(modes.EVAL, _params(tmp_path, scale=2))
+        assert len(ds) == 2
+        name, lr, hr = ds[0]
+        assert name == "baby"
+        assert lr.shape == (16, 16, 3) and hr.shape == (32, 32, 3)
