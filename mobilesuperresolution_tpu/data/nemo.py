@@ -49,12 +49,35 @@ class NemoDataset(_vsr.VideoSRDataset):
         assert raw_order in ("rgb", "bgr")
         self.raw_order = raw_order
 
+    @staticmethod
+    def _raw_shape(path):
+        return LR_SHAPE if "lr" in path.lower() or "240" in path else HR_SHAPE
+
     def _load_frame(self, key, path):
         if path.endswith(".raw"):
-            shape = LR_SHAPE if "lr" in path.lower() or "240" in path else HR_SHAPE
-            arr = np.fromfile(path, dtype=np.uint8).reshape(shape)
+            arr = np.fromfile(path, dtype=np.uint8).reshape(self._raw_shape(path))
             return arr[..., ::-1] if self.raw_order == "bgr" else arr
         return super()._load_frame(key, path)
+
+    def _load_window(self, window):
+        """Whole-window parallel read via the native core; per-frame numpy
+        fallback (which raises the precise error) when unavailable."""
+        paths = [p for _, p in window]
+        if all(p.endswith(".raw") for p in paths):
+            from mobilesuperresolution_tpu.data import native_loader
+
+            batch = native_loader.load_raw_window(
+                paths, self._raw_shape(paths[0]), flip_bgr=self.raw_order == "bgr"
+            )
+            if batch is not None:
+                return list(batch)
+        return [self._load_frame(k, p) for k, p in window]
+
+    def _load_item(self, index):
+        return (
+            self._load_window(self.lr_windows[index]),
+            self._load_window(self.hr_windows[index]),
+        )
 
 
 def get_dataset(mode, params):

@@ -27,7 +27,10 @@ def yuv420_to_rgb(y, u, v):
 
 def convert_yuv_dir(src_dir, dst_dir, hw):
     """Convert per-frame .y/.u/.v planar files → interleaved .raw RGB files
-    (the converter CLI of datasets/yuv420_to_bgr.py)."""
+    (the converter CLI of datasets/yuv420_to_bgr.py). Uses the native
+    multithreaded core (native/loader.cc) when built — bit-identical output."""
+    from mobilesuperresolution_tpu.data import native_loader
+
     h, w = hw
     os.makedirs(dst_dir, exist_ok=True)
     names = sorted(
@@ -41,6 +44,6 @@ def convert_yuv_dir(src_dir, dst_dir, hw):
         v = np.fromfile(os.path.join(src_dir, name + ".v"), np.uint8).reshape(
             h // 2, w // 2
         )
-        rgb = yuv420_to_rgb(y, u, v)
+        rgb = native_loader.yuv420_to_rgb(y, u, v)
         rgb.tofile(os.path.join(dst_dir, name + ".raw"))
     return len(names)

@@ -35,3 +35,106 @@ def test_float_input_falls_back(rng):
     np.testing.assert_allclose(
         imresize_u8(img, scalar_scale=0.5), imresize_np(img, scalar_scale=0.5)
     )
+
+
+# ---- native data-loading core (native/loader.cc) ----
+
+
+def _loader_available():
+    from mobilesuperresolution_tpu.data import native_loader
+
+    return native_loader.native_available()
+
+
+@pytest.mark.skipif(
+    not _loader_available(), reason="libloader not built (make -C native)"
+)
+class TestNativeLoader:
+    def test_yuv420_bit_identical(self, rng):
+        from mobilesuperresolution_tpu.data import native_loader
+        from mobilesuperresolution_tpu.data.yuv import yuv420_to_rgb as np_path
+
+        h, w = 240, 426
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        u = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            native_loader.yuv420_to_rgb(y, u, v), np_path(y, u, v)
+        )
+
+    def test_yuv420_odd_size_falls_back(self, rng):
+        from mobilesuperresolution_tpu.data import native_loader
+        from mobilesuperresolution_tpu.data.yuv import yuv420_to_rgb as np_path
+
+        # even-sized frame whose chroma planes mismatch the native contract
+        y = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+        u = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+        v = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            native_loader.yuv420_to_rgb(y, u, v), np_path(y, u, v)
+        )
+
+    def test_raw_window_parallel_read(self, rng, tmp_path):
+        from mobilesuperresolution_tpu.data import native_loader
+
+        shape = (6, 7, 3)
+        frames = [
+            rng.integers(0, 256, shape, dtype=np.uint8) for _ in range(5)
+        ]
+        paths = []
+        for i, f in enumerate(frames):
+            p = tmp_path / f"{i:04d}.raw"
+            f.tofile(p)
+            paths.append(str(p))
+        out = native_loader.load_raw_window(paths, shape)
+        np.testing.assert_array_equal(out, np.stack(frames))
+        # BGR->RGB swizzle
+        out_flipped = native_loader.load_raw_window(paths, shape, flip_bgr=True)
+        np.testing.assert_array_equal(out_flipped, np.stack(frames)[..., ::-1])
+
+    def test_raw_window_missing_or_short_file(self, rng, tmp_path):
+        from mobilesuperresolution_tpu.data import native_loader
+
+        shape = (4, 4, 3)
+        good = rng.integers(0, 256, shape, dtype=np.uint8)
+        p_good = tmp_path / "a.raw"
+        good.tofile(p_good)
+        assert (
+            native_loader.load_raw_window(
+                [str(p_good), str(tmp_path / "missing.raw")], shape
+            )
+            is None
+        )
+        p_short = tmp_path / "short.raw"
+        p_short.write_bytes(b"\x00" * (good.nbytes - 1))
+        assert (
+            native_loader.load_raw_window([str(p_short)], shape) is None
+        )
+
+    def test_nemo_window_uses_native_path(self, rng, tmp_path, monkeypatch):
+        """NemoDataset._load_window returns the same frames via the native
+        batch read as via the per-frame fallback."""
+        from types import SimpleNamespace
+
+        from mobilesuperresolution_tpu.core import modes
+        from mobilesuperresolution_tpu.data import nemo
+
+        h, w, c = nemo.LR_SHAPE
+        frames = [
+            rng.integers(0, 256, (h, w, c), dtype=np.uint8) for _ in range(3)
+        ]
+        lrdir = tmp_path / "lr"
+        lrdir.mkdir()
+        window = []
+        for i, f in enumerate(frames):
+            p = lrdir / f"{i:04d}.raw"
+            f.tofile(p)
+            window.append((f"lr/{i:04d}.raw", str(p)))
+        params = SimpleNamespace(num_patches=1, image_batch=3, seed=0)
+        ds = nemo.NemoDataset(
+            modes.EVAL, params, [window], [window], raw_order="bgr"
+        )
+        got = ds._load_window(window)
+        expect = [f[..., ::-1] for f in frames]
+        for g, e in zip(got, expect):
+            np.testing.assert_array_equal(g, e)
