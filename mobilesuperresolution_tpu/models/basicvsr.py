@@ -3,9 +3,11 @@
 Reference: models/basicvsr_arch.py (mobile-modified) and
 models/basicvsr_arch_origin.py (faithful BasicVSR). TPU-native redesign:
 
-- The two temporal recurrences are ``lax.scan``s (via ``nn.scan`` with
+- The two temporal recurrences run as ONE ``lax.scan`` (via ``nn.scan`` with
   broadcast params) with a resident ``feat_prop`` carry — O(1) memory in T and
-  one compiled step regardless of clip length.
+  one compiled step regardless of clip length. The backward leg scans reversed
+  time on the batch axis next to the forward leg, and the per-direction trunks
+  execute as a single block-diagonal conv stack (see _DualTrunk).
 - Both flow directions are computed in ONE batched SpyNet call
   (2·B·(T-1) images) instead of the reference's two sequential calls.
 - The per-frame reconstruction (fusion → upsample → +base) has no temporal
@@ -24,10 +26,11 @@ both (SURVEY §7.4: emulate semantics, not bugs).
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mobilesuperresolution_tpu.models.spynet import SpyNet
-from mobilesuperresolution_tpu.ops.layers import PlainConv
+from mobilesuperresolution_tpu.ops.layers import PlainConv, SubpixelConvTranspose
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 from mobilesuperresolution_tpu.ops.warp import flow_warp
 
@@ -61,34 +64,99 @@ class ConvResidualBlocks(nn.Module):
         return x
 
 
-class _PropagationStep(nn.Module):
-    """One recurrence step: warp carry by flow, concat frame, run trunk."""
+class _DualTrunk(nn.Module):
+    """Both directions' trunks (conv → lrelu → num_block residual blocks,
+    basicvsr_arch.py:108-124) evaluated as ONE dense conv stack on
+    channel-stacked input [backward | forward] with block-diagonal kernels.
+
+    TPU rationale: at num_feat=24 a single-direction conv uses 24 of the
+    MXU's 128 output lanes (~19%). Stacking the directions doubles the lanes
+    for the same wall-clock-critical op count — measured ~1.4x over two
+    separate scans on v5e (and half the sequential scan iterations). Grouped
+    conv (feature_group_count=2) was measured 4x SLOWER than block-diagonal
+    dense, and a vmap-stacked-kernel merged scan 2.5x slower end-to-end —
+    XLA handles convolutions with batched kernel operands poorly."""
+
+    num_feat: int
+    num_block: int
+
+    @nn.compact
+    def __call__(self, y):
+        from mobilesuperresolution_tpu.ops.layers import (
+            torch_bias_init,
+            torch_conv_init,
+        )
+
+        cin = y.shape[-1] // 2
+        nf = self.num_feat
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        def dual_conv(name, ci, co):
+            ks, bs = [], []
+            for d in ("backward", "forward"):
+                ks.append(
+                    self.param(f"{d}_{name}_kernel", torch_conv_init, (3, 3, ci, co))
+                )
+                bs.append(
+                    self.param(f"{d}_{name}_bias", torch_bias_init(ci * 9), (co,))
+                )
+            k = jnp.zeros((3, 3, 2 * ci, 2 * co), y.dtype)
+            k = k.at[:, :, :ci, :co].set(ks[0].astype(y.dtype))
+            k = k.at[:, :, ci:, co:].set(ks[1].astype(y.dtype))
+            b = jnp.concatenate(bs).astype(y.dtype)
+            return k, b
+
+        def conv(z, k, b):
+            return (
+                jax.lax.conv_general_dilated(
+                    z, k, (1, 1), "SAME", dimension_numbers=dn
+                )
+                + b
+            )
+
+        k0, b0 = dual_conv("conv0", cin, nf)
+        y = lrelu(conv(y, k0, b0))
+        for i in range(self.num_block):
+            k1, b1 = dual_conv(f"block{i}_conv1", nf, nf)
+            k2, b2 = dual_conv(f"block{i}_conv2", nf, nf)
+            z = nn.relu(conv(y, k1, b1))
+            y = y + conv(z, k2, b2)
+        return y
+
+
+class _MergedPropagationStep(nn.Module):
+    """One recurrence step for BOTH directions: warp each direction's carry by
+    its own flow (direction-stacked on batch), then run both trunks as one
+    block-diagonal conv stack (channel-stacked)."""
 
     num_feat: int
     num_block: int
 
     @nn.compact
     def __call__(self, feat_prop, xs):
-        x_i, flow = xs
+        x_i, flow = xs  # (2B, H, W, C), (2B, H, W, 2)
         feat_prop = flow_warp(feat_prop, flow, padding_mode="zeros")
-        feat_prop = ConvResidualBlocks(self.num_feat, self.num_block, name="trunk")(
-            jnp.concatenate([x_i, feat_prop], axis=-1)
-        )
-        return feat_prop, feat_prop
+        b = feat_prop.shape[0] // 2
+        inp = jnp.concatenate([x_i, feat_prop], axis=-1)  # (2B, H, W, C+nf)
+        y = jnp.concatenate([inp[:b], inp[b:]], axis=-1)  # (B, .., 2(C+nf))
+        y = _DualTrunk(self.num_feat, self.num_block, name="trunks")(y)
+        nf = self.num_feat
+        feat = jnp.concatenate([y[..., :nf], y[..., nf:]], axis=0)  # (2B,..,nf)
+        return feat, feat
 
 
-def _scan_propagation(num_feat, num_block, name, remat=False):
-    """remat=True recomputes each step's trunk in the backward pass instead of
-    storing its activations — O(T) → O(1) activation memory in clip length,
-    the standard trade for long-clip training (SURVEY §5.7)."""
-    step = nn.remat(_PropagationStep) if remat else _PropagationStep
+def _scan_propagation(num_feat, num_block, remat=False):
+    """remat=True recomputes each step's trunks in the backward pass instead
+    of storing their activations — O(T) → O(1) activation memory in clip
+    length, the standard trade for long-clip training (SURVEY §5.7)."""
+    step = nn.remat(_MergedPropagationStep) if remat else _MergedPropagationStep
     return nn.scan(
         step,
         variable_broadcast="params",
         split_rngs={"params": False},
         in_axes=0,
         out_axes=0,
-    )(num_feat=num_feat, num_block=num_block, name=name)
+    )(num_feat=num_feat, num_block=num_block, name="propagation")
 
 
 class BasicVSRBase(nn.Module):
@@ -115,32 +183,30 @@ class BasicVSRBase(nn.Module):
         return jnp.moveaxis(ff, 1, 0), jnp.moveaxis(fb, 1, 0)
 
     def _propagate(self, x, flows_forward, flows_backward):
-        """Bidirectional propagation: two scans with separate trunks.
-
-        (A merged 2·B-batch scan with nn.vmap-stacked per-direction trunk
-        weights was tried and measured 2.5x SLOWER end-to-end — XLA handles
-        convolutions with a batched kernel operand poorly. Two scans with
-        ordinary convs win: 75.5 vs 30.4 fps on the 1080p bench.)"""
+        """Bidirectional propagation as ONE scan: the backward leg runs over
+        reversed time and the forward leg over forward time, stacked on the
+        batch axis, with block-diagonal dual trunks (see _DualTrunk). Step
+        j>=1 of the backward leg processes frame i=T-1-j with
+        flows_backward[i] (basicvsr_arch.py:70-74)."""
         b, t, h, w, _ = x.shape
         xt = jnp.moveaxis(x, 1, 0)  # (T, B, H, W, C)
-        init = jnp.zeros((b, h, w, self.num_feat), x.dtype)
-        # dummy zero flow for the first step of each scan (it warps the
-        # all-zeros carry, a no-op) — built explicitly so T=1 clips (empty
-        # flow sequence) still scan.
+        init = jnp.zeros((2 * b, h, w, self.num_feat), x.dtype)
+        # dummy zero flow for the first step (it warps the all-zeros carry, a
+        # no-op) — built explicitly so T=1 clips (empty flow sequence) scan.
         dummy = jnp.zeros((1, b, h, w, 2), x.dtype)
-
-        # backward: scan over reversed time. Step j>=1 processes frame
-        # i=T-1-j with flows_backward[i] (basicvsr_arch.py:70-74).
-        bwd_flows = jnp.concatenate([dummy, flows_backward[::-1]], axis=0)
-        _, out_b = _scan_propagation(
-            self.num_feat, self.num_block, "backward_trunk", self.remat
-        )(init, (xt[::-1], bwd_flows))
-        out_b = out_b[::-1]  # back to forward time order
-
-        fwd_flows = jnp.concatenate([dummy, flows_forward], axis=0)
-        _, out_f = _scan_propagation(
-            self.num_feat, self.num_block, "forward_trunk", self.remat
-        )(init, (xt, fwd_flows))
+        frames = jnp.concatenate([xt[::-1], xt], axis=1)  # (T, 2B, H, W, C)
+        flows = jnp.concatenate(
+            [
+                jnp.concatenate([dummy, flows_backward[::-1]], axis=0),
+                jnp.concatenate([dummy, flows_forward], axis=0),
+            ],
+            axis=1,
+        )
+        _, out = _scan_propagation(self.num_feat, self.num_block, self.remat)(
+            init, (frames, flows)
+        )
+        out_b = out[:, :b][::-1]  # back to forward time order
+        out_f = out[:, b:]
         return jnp.moveaxis(out_b, 0, 1), jnp.moveaxis(out_f, 0, 1)
 
 
@@ -165,12 +231,8 @@ class BasicVSR(BasicVSRBase):
             b * t, h, w, 2 * self.num_feat
         )
         out = lrelu(PlainConv(2 * self.num_feat, 1, use_bias=True, name="fusion")(feats))
-        out = nn.ConvTranspose(
-            features=3,
-            kernel_size=(5, 5),
-            strides=(self.scale, self.scale),
-            padding="VALID",
-            name="conv_last",
+        out = SubpixelConvTranspose(
+            3, kernel_size=5, stride=self.scale, name="conv_last"
         )(out)
         out = resize_bilinear(out, (height, width), align_corners=False)
         base = resize_bilinear(

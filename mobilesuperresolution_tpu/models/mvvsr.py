@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mobilesuperresolution_tpu.models.basicvsr import BasicVSRBase, lrelu
-from mobilesuperresolution_tpu.ops.layers import PlainConv
+from mobilesuperresolution_tpu.ops.layers import PlainConv, SubpixelConvTranspose
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 
 
@@ -36,12 +36,8 @@ class MotionVectorVSR(BasicVSRBase):
             b * t, h, w, 2 * self.num_feat
         )
         out = lrelu(PlainConv(2 * self.num_feat, 1, use_bias=True, name="fusion")(feats))
-        out = nn.ConvTranspose(
-            features=3,
-            kernel_size=(5, 5),
-            strides=(self.scale, self.scale),
-            padding="VALID",
-            name="conv_last",
+        out = SubpixelConvTranspose(
+            3, kernel_size=5, stride=self.scale, name="conv_last"
         )(out)
         out = resize_bilinear(out, (height, width), align_corners=False)
         base = resize_bilinear(

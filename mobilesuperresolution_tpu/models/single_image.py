@@ -16,7 +16,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mobilesuperresolution_tpu.ops.layers import WNConv
+from mobilesuperresolution_tpu.ops.layers import SubpixelConvTranspose, WNConv
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 
 
@@ -55,12 +55,8 @@ class SingleImageModel(nn.Module):
             z = _DoubleConv(self.channel, self.kernel, name=f"block_{i}")(z) + z
         z = WNConv(self.channel, 3, g_init=None, name="body_tail")(z)
         y = z + y
-        y = nn.ConvTranspose(
-            features=3,
-            kernel_size=(5, 5),
-            strides=(self.scale, self.scale),
-            padding="VALID",
-            name="shuf",
+        y = SubpixelConvTranspose(
+            3, kernel_size=5, stride=self.scale, name="shuf"
         )(y)
         y = resize_bilinear(y, (height, width), align_corners=False)
         return y.reshape(b, t, height, width, c).astype(in_dtype)

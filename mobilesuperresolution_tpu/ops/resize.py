@@ -44,13 +44,15 @@ def _matrices(in_hw, out_hw, align_corners, dtype_name):
     return mh, mw
 
 
-def resize_bilinear(x, out_hw, align_corners=False, precision="highest"):
+def resize_bilinear(x, out_hw, align_corners=False, precision=None):
     """x: (..., H, W, C) → (..., out_h, out_w, C).
 
-    precision='highest' gives true-f32 matmuls (torch-parity; the TPU default
-    bf16 passes would drift ~1e-3); pass None for the fast default on
-    perf-critical model-internal paths.
-    """
+    precision None (default) resolves by dtype: true-f32 matmuls for f32
+    inputs (torch-parity — the TPU default bf16 passes would drift ~1e-3),
+    plain bf16 matmuls for bf16 inputs (the caller already chose reduced
+    precision; 'highest' there would trigger slow multi-pass emulation)."""
+    if precision is None:
+        precision = "default" if x.dtype == jnp.bfloat16 else "highest"
     in_hw = (x.shape[-3], x.shape[-2])
     out_hw = tuple(int(s) for s in out_hw)
     if in_hw == out_hw:

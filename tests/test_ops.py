@@ -119,3 +119,50 @@ class TestDepthToSpace:
         xt = torch.from_numpy(x).permute(0, 3, 1, 2)
         want = F.pixel_shuffle(xt, r).permute(0, 2, 3, 1).numpy()
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestSubpixelConvTranspose:
+    """SubpixelConvTranspose == nn.ConvTranspose(VALID): same params, same
+    output (it is the BasicVSR/MVVSR/single-image reconstruction tail,
+    reference models/basicvsr_arch.py:36, mvvsr_arch.py:37,
+    single_image_model.py:91)."""
+
+    @pytest.mark.parametrize(
+        "K,s,cin,cout,H,W",
+        [(5, 4, 48, 3, 9, 11), (5, 2, 32, 3, 7, 8), (3, 4, 8, 5, 6, 6),
+         (7, 4, 6, 4, 5, 9), (4, 4, 6, 4, 5, 5), (5, 3, 6, 4, 5, 7)],
+    )
+    def test_matches_flax_conv_transpose(self, rng, K, s, cin, cout, H, W):
+        import flax.linen as nn
+
+        from mobilesuperresolution_tpu.ops.layers import SubpixelConvTranspose
+
+        x = jnp.asarray(rng.standard_normal((2, H, W, cin)), jnp.float32)
+        ref_m = nn.ConvTranspose(cout, (K, K), strides=(s, s), padding="VALID")
+        v = ref_m.init(jax.random.key(1), x)
+        sub_m = SubpixelConvTranspose(cout, K, s)
+        v2 = sub_m.init(jax.random.key(1), x)
+        # identical param pytree (names, shapes, init values) -> checkpoints
+        # interchange between the two forms
+        assert jax.tree.structure(v) == jax.tree.structure(v2)
+        for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(v2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ref = ref_m.apply(v, x)
+        out = sub_m.apply(v, x)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    def test_gradients_match(self, rng):
+        import flax.linen as nn
+
+        from mobilesuperresolution_tpu.ops.layers import SubpixelConvTranspose
+
+        x = jnp.asarray(rng.standard_normal((1, 5, 6, 4)), jnp.float32)
+        ref_m = nn.ConvTranspose(3, (5, 5), strides=(4, 4), padding="VALID")
+        v = ref_m.init(jax.random.key(0), x)
+        g_ref = jax.grad(lambda p: jnp.sum(ref_m.apply(p, x) ** 2))(v)
+        g_sub = jax.grad(
+            lambda p: jnp.sum(SubpixelConvTranspose(3, 5, 4).apply(p, x) ** 2)
+        )(v)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sub)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
