@@ -38,8 +38,7 @@ class MotionVectorVSR(BasicVSRBase):
         out = lrelu(PlainConv(2 * self.num_feat, 1, use_bias=True, name="fusion")(feats))
         out = SubpixelConvTranspose(
             3, kernel_size=5, stride=self.scale, name="conv_last"
-        )(out)
-        out = resize_bilinear(out, (height, width), align_corners=False)
+        )(out, out_hw=(height, width), align_corners=False)
         base = resize_bilinear(
             x.reshape(b * t, h, w, c), (height, width), align_corners=False
         )

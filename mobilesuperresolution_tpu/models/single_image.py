@@ -17,7 +17,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from mobilesuperresolution_tpu.ops.layers import SubpixelConvTranspose, WNConv
-from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 
 
 class _DoubleConv(nn.Module):
@@ -57,6 +56,5 @@ class SingleImageModel(nn.Module):
         y = z + y
         y = SubpixelConvTranspose(
             3, kernel_size=5, stride=self.scale, name="shuf"
-        )(y)
-        y = resize_bilinear(y, (height, width), align_corners=False)
+        )(y, out_hw=(height, width), align_corners=False)
         return y.reshape(b, t, height, width, c).astype(in_dtype)

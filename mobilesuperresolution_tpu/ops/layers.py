@@ -152,7 +152,13 @@ class SubpixelConvTranspose(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_hw=None, align_corners=False):
+        """out_hw=None: plain transpose output. out_hw=(oh, ow): the FUSED
+        transpose+bilinear-resize path — equals
+        ``resize_bilinear(self(x), out_hw, align_corners)`` but contracts the
+        resize matrices directly over the conv's phase channels, so the
+        depth_to_space lane→spatial transpose (measured ~12 ms on the 1080p
+        BasicVSR tail, vs ~0.5 ms of actual conv math) never materializes."""
         K, s = self.kernel_size, self.stride
         cin = x.shape[-1]
         kernel = self.param(
@@ -171,12 +177,38 @@ class SubpixelConvTranspose(nn.Module):
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        y = depth_to_space(y, s)
         # flax VALID transpose output size: H*s + max(K-s, 0); positions past
         # the tap support (H-1)*s+K are zero, which the phase kernels produce.
         h, wd = x.shape[-3], x.shape[-2]
         ex = max(K - s, 0)
-        y = y[..., : h * s + ex, : wd * s + ex, :]
+        th, tw = h * s + ex, wd * s + ex
+
+        if out_hw is None:
+            y = depth_to_space(y, s)[..., :th, :tw, :]
+        else:
+            from mobilesuperresolution_tpu.ops.resize import linear_resize_matrix
+
+            oh, ow = int(out_hw[0]), int(out_hw[1])
+            hc, wc = y.shape[-3], y.shape[-2]
+            lead = y.shape[:-3]
+            y = y.reshape(*lead, hc, wc, self.features, s, s)
+            # phase-indexed resize matrices: RY[o, hc, i] = Ry[o, hc*s + i]
+            # (zero past the crop), likewise RX — the d2s row/col permutation
+            # and the crop are absorbed into the matmul operands.
+            ry = np.zeros((oh, hc, s), np.float32)
+            m = linear_resize_matrix(th, oh, align_corners)
+            ry.reshape(oh, hc * s)[:, :th] = m
+            rx = np.zeros((ow, wc, s), np.float32)
+            m = linear_resize_matrix(tw, ow, align_corners)
+            rx.reshape(ow, wc * s)[:, :tw] = m
+            ry = jnp.asarray(ry, y.dtype)
+            rx = jnp.asarray(rx, y.dtype)
+            # precision mirrors resize_bilinear: true-f32 for f32 inputs,
+            # plain bf16 matmuls when the caller already chose bf16
+            prec = "default" if y.dtype == jnp.bfloat16 else "highest"
+            y = jnp.einsum("ohi,...hwcij->...owcj", ry, y, precision=prec)
+            y = jnp.einsum("pwj,...owcj->...opc", rx, y, precision=prec)
+
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), jnp.float32

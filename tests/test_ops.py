@@ -166,3 +166,23 @@ class TestSubpixelConvTranspose:
         )(v)
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sub)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_fused_resize_matches_sequential(self, rng):
+        """out_hw fused path == resize_bilinear(plain transpose output) —
+        the d2s/crop/resize fusion used by the VSR reconstruction tails."""
+        from mobilesuperresolution_tpu.ops.layers import SubpixelConvTranspose
+        from mobilesuperresolution_tpu.ops.resize import resize_bilinear
+
+        for K, s, H, W, oh, ow, ac in [
+            (5, 4, 9, 11, 43, 51, False),
+            (5, 2, 7, 8, 20, 22, True),
+            (3, 4, 6, 6, 30, 17, False),
+        ]:
+            x = jnp.asarray(rng.standard_normal((2, H, W, 6)), jnp.float32)
+            m = SubpixelConvTranspose(3, K, s)
+            v = m.init(jax.random.key(0), x)
+            ref = resize_bilinear(m.apply(v, x), (oh, ow), align_corners=ac)
+            fused = m.apply(v, x, out_hw=(oh, ow), align_corners=ac)
+            np.testing.assert_allclose(
+                np.asarray(fused), np.asarray(ref), atol=1e-4
+            )
