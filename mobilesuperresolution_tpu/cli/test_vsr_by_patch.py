@@ -6,9 +6,12 @@ records per-patch-frame [spatial TV, temporal TV, PSNR, bilinear PSNR] and
 saves the 4xN array to <job_dir>/run/<model_type>_64_64_2.npy for the
 analysis notebook (reference run/test.py).
 
-TPU note: every 64x64 patch has the same static shape, so all patches of a
-clip run through ONE jitted forward; patches are batched along the batch dim
-for MXU occupancy instead of a Python double loop per patch.
+TPU notes: every 64x64 patch has the same static shape, so ONE jitted
+forward (fixed patch-batch, padded) serves every chunk; patches are batched
+along the batch dim for MXU occupancy instead of a Python double loop per
+patch, and with --data_parallel the patch batch is sharded over the mesh's
+'data' axis — patches are independent, so they scale across chips with zero
+communication (the device-parallel form of the reference's tiling loop).
 """
 
 import os
@@ -57,36 +60,68 @@ def time_variation(clip):
     return tv.reshape(b * t)
 
 
-def evaluate_by_patch(forward_fn, batches, scale, patch=(64, 64), overlap=(4, 0)):
+def evaluate_by_patch(
+    forward_fn,
+    batches,
+    scale,
+    patch=(64, 64),
+    overlap=(4, 0),
+    mesh=None,
+    patch_batch=None,
+):
+    """mesh: shard the patch batch over the mesh's 'data' axis — the
+    device-parallel form of the reference's per-patch Python loop (patches of
+    a clip are independent, so they scale across chips with zero
+    communication). patch_batch: patches per jitted forward (padded to a
+    fixed size so one program shape serves every chunk); defaults to the
+    mesh's data size, or 1 single-device (the reference's per-patch order)."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PSpec
+
     ph, pw = patch
     oh_, ow_ = overlap
+    nd = mesh.shape["data"] if mesh is not None else 1
+    pb = patch_batch or nd
+    pb = -(-pb // nd) * nd  # round up to a multiple of the data axis
     rows = {"space": [], "time": [], "psnr": [], "bilinear": []}
     for name, lr_clip, hr_clip in batches:
         lr_clip = jnp.asarray(lr_clip)
         hr_clip = jnp.asarray(hr_clip)
-        t = lr_clip.shape[1]
+        b, t = lr_clip.shape[:2]
+        positions = []
         start_h = 0
         while start_h + ph <= lr_clip.shape[2]:
             start_w = 0
             while start_w + pw <= lr_clip.shape[3]:
-                lp = lr_clip[:, :, start_h : start_h + ph, start_w : start_w + pw]
-                hp = hr_clip[
-                    :,
-                    :,
-                    start_h * scale : (start_h + ph) * scale,
-                    start_w * scale : (start_w + pw) * scale,
-                ]
-                sr = forward_fn(lp, ph * scale, pw * scale)
-                rows["space"].extend(np.asarray(total_variation(lp)).tolist())
-                rows["time"].extend(np.asarray(time_variation(lp)).tolist())
-                for i in range(t):
-                    base = resize_bilinear(
-                        lp[:, i], (ph * scale, pw * scale), align_corners=False
-                    )[..., :3]
-                    rows["psnr"].append(float(psnr(sr[:, i], hp[:, i], shave=4)))
-                    rows["bilinear"].append(float(psnr(base, hp[:, i], shave=4)))
+                positions.append((start_h, start_w))
                 start_w += pw - ow_
             start_h += ph - oh_
+        lps = [
+            lr_clip[:, :, sh : sh + ph, sw : sw + pw] for sh, sw in positions
+        ]
+        srs = []
+        for i in range(0, len(lps), pb):
+            chunk = lps[i : i + pb]
+            xs = jnp.concatenate(chunk + [chunk[-1]] * (pb - len(chunk)), axis=0)
+            if mesh is not None:
+                xs = jax.device_put(xs, NamedSharding(mesh, PSpec("data")))
+            sr = forward_fn(xs, ph * scale, pw * scale)
+            srs.extend(sr.reshape(pb, b, *sr.shape[1:])[: len(chunk)])
+        for (sh, sw), lp, sr in zip(positions, lps, srs):
+            hp = hr_clip[
+                :,
+                :,
+                sh * scale : (sh + ph) * scale,
+                sw * scale : (sw + pw) * scale,
+            ]
+            rows["space"].extend(np.asarray(total_variation(lp)).tolist())
+            rows["time"].extend(np.asarray(time_variation(lp)).tolist())
+            for i in range(t):
+                base = resize_bilinear(
+                    lp[:, i], (ph * scale, pw * scale), align_corners=False
+                )[..., :3]
+                rows["psnr"].append(float(psnr(sr[:, i], hp[:, i], shave=4)))
+                rows["bilinear"].append(float(psnr(base, hp[:, i], shave=4)))
     return np.stack(
         [
             np.asarray(rows["space"]),
@@ -106,6 +141,18 @@ def main(argv=None):
     parser.add_argument("--patch_w", type=int, default=64)
     parser.add_argument("--overlap_h", type=int, default=4)
     parser.add_argument("--overlap_w", type=int, default=0)
+    parser.add_argument(
+        "--data_parallel",
+        action="store_true",
+        help="shard the patch batch over all devices (mesh 'data' axis)",
+    )
+    parser.add_argument(
+        "--patch_batch",
+        type=int,
+        default=None,
+        help="patches per jitted forward (default: #devices when "
+        "--data_parallel, else 1)",
+    )
     params, _ = parse_with_plugins(parser, argv, with_models=False)
     logging = LoggingTool(params.job_dir)
 
@@ -133,6 +180,13 @@ def main(argv=None):
         lambda p, x, oh, ow: model.apply({"params": p}, x, oh, ow),
         static_argnums=(2, 3),
     )
+    mesh = None
+    if params.data_parallel:
+        from mobilesuperresolution_tpu.parallel import make_mesh
+
+        mesh = make_mesh(spatial=1)
+        logging.info(f"patch eval sharded over mesh {dict(mesh.shape)}")
+
     eval_mods = eval_modules(params)
     for name, mod in eval_mods:
         ds = mod.get_dataset(modes.EVAL, params)
@@ -142,6 +196,8 @@ def main(argv=None):
             params.scale,
             patch=(params.patch_h, params.patch_w),
             overlap=(params.overlap_h, params.overlap_w),
+            mesh=mesh,
+            patch_batch=params.patch_batch,
         )
         out_dir = os.path.join(params.job_dir, "run")
         os.makedirs(out_dir, exist_ok=True)

@@ -181,3 +181,30 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (1, 3, 128, 128, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_patch_eval_data_parallel_matches_single(eight_devices):
+    """Mesh-sharded patch eval == unsharded patch eval (same patches, same
+    statistics), patch batch padded to the data-axis size."""
+    from mobilesuperresolution_tpu.cli.test_vsr_by_patch import evaluate_by_patch
+    from mobilesuperresolution_tpu.ops.resize import resize_bilinear
+    from mobilesuperresolution_tpu.parallel import make_mesh
+
+    rngs = np.random.default_rng(0)
+    hr = jnp.asarray(rngs.random((1, 2, 32, 48, 3)).astype(np.float32))
+    lr = hr[:, :, ::2, ::2]
+    fwd = lambda x, oh, ow: resize_bilinear(x, (oh, ow), align_corners=False)
+    ref = evaluate_by_patch(
+        fwd, [("clip", lr, hr)], scale=2, patch=(8, 8), overlap=(2, 0)
+    )
+    mesh = make_mesh(data=8, spatial=1)
+    with mesh:
+        got = evaluate_by_patch(
+            fwd,
+            [("clip", lr, hr)],
+            scale=2,
+            patch=(8, 8),
+            overlap=(2, 0),
+            mesh=mesh,
+        )
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
