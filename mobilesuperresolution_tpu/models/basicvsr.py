@@ -145,10 +145,13 @@ class _MergedPropagationStep(nn.Module):
         return feat, feat
 
 
-def _scan_propagation(num_feat, num_block, remat=False):
+def _scan_propagation(num_feat, num_block, remat=False, unroll=5):
     """remat=True recomputes each step's trunks in the backward pass instead
     of storing their activations — O(T) → O(1) activation memory in clip
-    length, the standard trade for long-clip training (SURVEY §5.7)."""
+    length, the standard trade for long-clip training (SURVEY §5.7).
+    unroll: scan steps per loop iteration — lets XLA schedule across step
+    boundaries (forced to 1 under remat, which needs the per-step
+    checkpoint)."""
     step = nn.remat(_MergedPropagationStep) if remat else _MergedPropagationStep
     return nn.scan(
         step,
@@ -156,6 +159,7 @@ def _scan_propagation(num_feat, num_block, remat=False):
         split_rngs={"params": False},
         in_axes=0,
         out_axes=0,
+        unroll=1 if remat else unroll,
     )(num_feat=num_feat, num_block=num_block, name="propagation")
 
 
