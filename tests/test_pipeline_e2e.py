@@ -113,3 +113,38 @@ def test_export_tflite_quantized_roundtrip(search_job, tmp_path):
     interp.set_tensor(inp["index"], np.random.rand(*shape).astype(np.float32))
     interp.invoke()
     assert interp.get_tensor(out["index"]).shape == (1, 32, 32, 3)
+
+
+def test_train_vsr_then_eval_cli(tmp_path):
+    """train_vsr a few steps on the synthetic VSR dataset, then run the
+    eval-only test_vsr CLI against the saved weights (reference flow:
+    train_video_superresolution.py → test_video_superresolution.py)."""
+    import numpy as np
+
+    from mobilesuperresolution_tpu.cli import test_vsr as test_vsr_cli
+    from mobilesuperresolution_tpu.cli import train_vsr as train_vsr_cli
+
+    job = tmp_path / "vsr_job"
+    common = [
+        "--dataset", "synthetic_vsr",
+        "--eval_datasets", "synthetic_vsr",
+        "--model_type", "single",
+        "--scale", "2",
+        "--image_batch", "2",
+        "--lr_patch_size", "16",
+    ]
+    train_vsr_cli.main(
+        ["--job_dir", str(job), "--epochs", "1", "--num_patches", "8",
+         "--train_batch_size", "8", *common]
+    )
+    weights = job / "weights" / "models.npz"
+    assert weights.exists()
+    result_log = (job / "result.log").read_text()
+    assert "PSNR" in result_log or "psnr" in result_log.lower()
+
+    eval_job = tmp_path / "vsr_eval"
+    test_vsr_cli.main(
+        ["--job_dir", str(eval_job), "--eval_model", str(weights), *common]
+    )
+    log = (eval_job / "result.log").read_text()
+    assert "psnr" in log.lower()
