@@ -99,29 +99,33 @@ def evaluate_by_patch(
         lps = [
             lr_clip[:, :, sh : sh + ph, sw : sw + pw] for sh, sw in positions
         ]
-        srs = []
+        # stream chunk by chunk: only one chunk of SR outputs is live at a
+        # time (a 100-frame NEMO clip has ~24 patches x (1,100,256,256,3)
+        # f32 ~= 1.9 GB if accumulated)
         for i in range(0, len(lps), pb):
             chunk = lps[i : i + pb]
             xs = jnp.concatenate(chunk + [chunk[-1]] * (pb - len(chunk)), axis=0)
             if mesh is not None:
                 xs = jax.device_put(xs, NamedSharding(mesh, PSpec("data")))
-            sr = forward_fn(xs, ph * scale, pw * scale)
-            srs.extend(sr.reshape(pb, b, *sr.shape[1:])[: len(chunk)])
-        for (sh, sw), lp, sr in zip(positions, lps, srs):
-            hp = hr_clip[
-                :,
-                :,
-                sh * scale : (sh + ph) * scale,
-                sw * scale : (sw + pw) * scale,
-            ]
-            rows["space"].extend(np.asarray(total_variation(lp)).tolist())
-            rows["time"].extend(np.asarray(time_variation(lp)).tolist())
-            for i in range(t):
-                base = resize_bilinear(
-                    lp[:, i], (ph * scale, pw * scale), align_corners=False
-                )[..., :3]
-                rows["psnr"].append(float(psnr(sr[:, i], hp[:, i], shave=4)))
-                rows["bilinear"].append(float(psnr(base, hp[:, i], shave=4)))
+            srs = forward_fn(xs, ph * scale, pw * scale)
+            srs = srs.reshape(pb, b, *srs.shape[1:])[: len(chunk)]
+            for (sh, sw), lp, sr in zip(positions[i : i + pb], chunk, srs):
+                hp = hr_clip[
+                    :,
+                    :,
+                    sh * scale : (sh + ph) * scale,
+                    sw * scale : (sw + pw) * scale,
+                ]
+                rows["space"].extend(np.asarray(total_variation(lp)).tolist())
+                rows["time"].extend(np.asarray(time_variation(lp)).tolist())
+                for fi in range(t):
+                    base = resize_bilinear(
+                        lp[:, fi], (ph * scale, pw * scale), align_corners=False
+                    )[..., :3]
+                    rows["psnr"].append(float(psnr(sr[:, fi], hp[:, fi], shave=4)))
+                    rows["bilinear"].append(
+                        float(psnr(base, hp[:, fi], shave=4))
+                    )
     return np.stack(
         [
             np.asarray(rows["space"]),

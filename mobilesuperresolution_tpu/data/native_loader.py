@@ -54,6 +54,8 @@ def yuv420_to_rgb(y, u, v):
     if (
         lib is None
         or y.dtype != np.uint8
+        or u.dtype != np.uint8
+        or v.dtype != np.uint8
         or h % 2 or w % 2
         or u.shape != (h // 2, w // 2)
         or v.shape != (h // 2, w // 2)

@@ -51,7 +51,18 @@ class NemoDataset(_vsr.VideoSRDataset):
 
     @staticmethod
     def _raw_shape(path):
-        return LR_SHAPE if "lr" in path.lower() or "240" in path else HR_SHAPE
+        """Frame shape by file size (deterministic — a filename heuristic
+        misclassifies e.g. hr/0240.raw); falls back to the directory tag for
+        nonexistent paths (unit tests)."""
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = -1
+        if size == int(np.prod(LR_SHAPE)):
+            return LR_SHAPE
+        if size == int(np.prod(HR_SHAPE)):
+            return HR_SHAPE
+        return LR_SHAPE if "lr" in os.path.dirname(path).lower() else HR_SHAPE
 
     def _load_frame(self, key, path):
         if path.endswith(".raw"):

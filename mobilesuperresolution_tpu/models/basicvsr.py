@@ -30,7 +30,12 @@ import jax
 import jax.numpy as jnp
 
 from mobilesuperresolution_tpu.models.spynet import SpyNet
-from mobilesuperresolution_tpu.ops.layers import PlainConv, SubpixelConvTranspose
+from mobilesuperresolution_tpu.ops.layers import (
+    PlainConv,
+    SubpixelConvTranspose,
+    torch_bias_init,
+    torch_conv_init,
+)
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 from mobilesuperresolution_tpu.ops.warp import flow_warp
 
@@ -82,11 +87,6 @@ class _DualTrunk(nn.Module):
 
     @nn.compact
     def __call__(self, y):
-        from mobilesuperresolution_tpu.ops.layers import (
-            torch_bias_init,
-            torch_conv_init,
-        )
-
         cin = y.shape[-1] // 2
         nf = self.num_feat
         dn = ("NHWC", "HWIO", "NHWC")
