@@ -158,3 +158,30 @@ class TestFusedWDSRBlock:
         )
         want = x + y
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+class TestConv5x5Pallas:
+    """Pallas shifted-GEMM 5x5 conv (kernels/conv5x5.py) — correctness vs
+    lax.conv in interpret mode (on-chip validated separately; kept as a
+    recorded negative perf result, see the module docstring)."""
+
+    @pytest.mark.parametrize(
+        "cin,cout,relu", [(32, 16, True), (8, 8, False)]
+    )
+    def test_matches_xla_conv(self, rng, cin, cout, relu):
+        from mobilesuperresolution_tpu.kernels.conv5x5 import conv5x5_same
+
+        x = jnp.asarray(rng.standard_normal((2, 16, 20, cin)) * 0.1, jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((5, 5, cin, cout)) * 0.05, jnp.float32
+        )
+        b = jnp.asarray(rng.standard_normal((cout,)) * 0.1, jnp.float32)
+        got = conv5x5_same(x, w, b, relu=relu, interpret=True)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        if relu:
+            ref = jnp.maximum(ref, 0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-4
+        )
