@@ -14,6 +14,34 @@ import jax.numpy as jnp
 from mobilesuperresolution_tpu.train.losses import charbonnier_loss, l1_loss
 
 
+def _guarded_update(params, opt_state, grads, loss, tx):
+    """Failure-detection guard (SURVEY §5.3 — the reference trains unguarded):
+    a batch producing a non-finite loss or gradient SKIPS the optimizer update
+    — params, optimizer moments, and the LR schedule all stay put — instead
+    of poisoning the run. Branch-free under jit; the skip is surfaced in the
+    step metrics as ``skipped``."""
+    finite = jnp.isfinite(loss)
+    finite = functools.reduce(
+        lambda a, g: a & jnp.all(jnp.isfinite(g)),
+        jax.tree_util.tree_leaves(grads),
+        finite,
+    )
+    safe_grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+    )
+    new_updates, new_opt = tx.update(safe_grads, opt_state, params)
+    params = jax.tree_util.tree_map(
+        lambda a, u: a + jnp.where(finite, u, jnp.zeros_like(u)).astype(a.dtype),
+        params,
+        new_updates,
+    )
+    opt_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(finite, new, old), new_opt, opt_state
+    )
+    skipped = (1.0 - finite.astype(jnp.float32))
+    return params, opt_state, skipped
+
+
 @functools.partial(jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,))
 def _sisr_step(state_tuple, batch, apply_fn, tx):
     params, opt_state, step = state_tuple
@@ -24,9 +52,8 @@ def _sisr_step(state_tuple, batch, apply_fn, tx):
         return l1_loss(sr, hr_img)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
-    updates, opt_state = tx.update(grads, opt_state, params)
-    params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
-    return (params, opt_state, step + 1), {"loss": loss, "l1": loss}
+    params, opt_state, skipped = _guarded_update(params, opt_state, grads, loss, tx)
+    return (params, opt_state, step + 1), {"loss": loss, "l1": loss, "skipped": skipped}
 
 
 def make_sisr_step(state):
@@ -65,13 +92,15 @@ def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1, spee
         (loss, (l1, sp, speed)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params
         )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+        params, opt_state, skipped = _guarded_update(
+            params, opt_state, grads, loss, tx
+        )
         return (params, opt_state, step + 1), {
             "loss": loss,
             "l1": l1,
             "speed_loss": sp,
             "speed": speed,
+            "skipped": skipped,
         }
 
     def step(state, batch, speed_target):
@@ -105,9 +134,10 @@ def make_vsr_step(state, out_hw):
             return charbonnier_loss(sr, hr_clip)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
-        return (params, opt_state, step + 1), {"loss": loss}
+        params, opt_state, skipped = _guarded_update(
+            params, opt_state, grads, loss, tx
+        )
+        return (params, opt_state, step + 1), {"loss": loss, "skipped": skipped}
 
     def step(state, batch):
         tup, metrics = _step(

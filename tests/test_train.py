@@ -208,3 +208,41 @@ def test_patch_eval_data_parallel_matches_single(eight_devices):
             mesh=mesh,
         )
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_nan_guard_skips_update():
+    """A batch with a non-finite loss must not move params, optimizer
+    moments, or the LR schedule (failure guard — SURVEY §5.3: the reference
+    trains unguarded); the next clean batch trains normally."""
+    from mobilesuperresolution_tpu.models import BasicModel
+    from mobilesuperresolution_tpu.train.state import create_train_state, multistep_adam
+    from mobilesuperresolution_tpu.train.steps import make_sisr_step
+
+    model = BasicModel(num_blocks=2, num_residual_units=8, scale=2)
+    tx = multistep_adam(1e-3, steps_per_epoch=4, epochs=2)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 8, 8, 3)), tx
+    )
+    step = make_sisr_step(state)
+    rngs = np.random.default_rng(0)
+    hr = rngs.random((2, 16, 16, 3)).astype(np.float32)
+    lr = hr[:, ::2, ::2]
+
+    bad_hr = hr.copy()
+    bad_hr[0, 0, 0, 0] = np.nan
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    o0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.opt_state)]
+    state1, m1 = step(state, (lr, bad_hr))
+    assert float(m1["skipped"]) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state1.params)[0]), np.asarray(p0)
+    )
+    for a, b in zip(o0, jax.tree_util.tree_leaves(state1.opt_state)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+    state2, m2 = step(state1, (lr, hr))
+    assert float(m2["skipped"]) == 0.0
+    assert np.isfinite(float(m2["loss"]))
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]), np.asarray(p0)
+    )
