@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    x_ref, w_ref, b_ref, o_ref, xbuf, acc_ref, sem, *, tile_h, width, cin, cout, relu
+    x_ref, w_ref, b_ref, o_ref, xbuf, acc_ref, sem, *, tile_h, width, relu
 ):
     n = pl.program_id(0)
     t = pl.program_id(1)
@@ -98,9 +98,7 @@ def conv5x5_same(x, w, b, relu=False, tile_h=None, interpret=False):
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, wp - width - 2), (0, 0)))
     wr = w.reshape(25, cin, cout).astype(x.dtype)
     br = b.reshape(1, cout).astype(jnp.float32)
-    kernel = functools.partial(
-        _kernel, tile_h=tile_h, width=width, cin=cin, cout=cout, relu=relu
-    )
+    kernel = functools.partial(_kernel, tile_h=tile_h, width=width, relu=relu)
     return pl.pallas_call(
         kernel,
         grid=(n, h // tile_h),

@@ -44,31 +44,6 @@ def lrelu(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
-class ResidualBlockNoBN(nn.Module):
-    num_feat: int
-
-    @nn.compact
-    def __call__(self, x):
-        y = PlainConv(self.num_feat, 3)(x)
-        y = nn.relu(y)
-        y = PlainConv(self.num_feat, 3)(y)
-        return x + y
-
-
-class ConvResidualBlocks(nn.Module):
-    """conv3x3 → lrelu → num_block residual blocks (basicvsr_arch.py:108-124)."""
-
-    num_out_ch: int
-    num_block: int
-
-    @nn.compact
-    def __call__(self, x):
-        x = lrelu(PlainConv(self.num_out_ch, 3)(x))
-        for _ in range(self.num_block):
-            x = ResidualBlockNoBN(self.num_out_ch)(x)
-        return x
-
-
 class _DualTrunk(nn.Module):
     """Both directions' trunks (conv → lrelu → num_block residual blocks,
     basicvsr_arch.py:108-124) evaluated as ONE dense conv stack on
