@@ -148,3 +148,17 @@ def test_train_vsr_then_eval_cli(tmp_path):
     )
     log = (eval_job / "result.log").read_text()
     assert "psnr" in log.lower()
+
+
+def test_prepare_dataset_cli(tmp_path):
+    """prepare_dataset builds caches / counts items for both modes
+    (reference prepare_dataset.py:5-20)."""
+    from mobilesuperresolution_tpu.cli import prepare_dataset as prep_cli
+
+    job = tmp_path / "prep"
+    prep_cli.main(
+        ["--job_dir", str(job), "--dataset", "synthetic_isr",
+         "--eval_datasets", "synthetic_isr", "--scale", "2"]
+    )
+    log = (job / "result.log").read_text()
+    assert "items cached" in log
