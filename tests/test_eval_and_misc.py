@@ -199,3 +199,48 @@ def test_mv_flip_negates_displacements(tmp_path, rng):
         signs.add((float(np.sign(lr[0, 0, 0, 3])), float(np.sign(lr[0, 0, 0, 4]))))
         assert abs(abs(float(lr[0, 0, 0, 3])) - 3.0) < 1e-6
     assert len(signs) > 1  # flips produced negated displacements
+
+
+def test_metrics_writer_jsonl(tmp_path):
+    """MetricsWriter appends parseable JSONL records (the reference's
+    SummaryWriter role, search.py:104-132); disabled writer is a no-op."""
+    import json
+
+    from mobilesuperresolution_tpu.core.metrics_writer import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path))
+    w.scalar("loss", 0.5, 1)
+    w.scalar("psnr", 30.25, 2)
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    recs = [json.loads(ln) for ln in lines]
+    assert [r["tag"] for r in recs] == ["loss", "psnr"]
+    assert recs[1]["value"] == 30.25 and recs[1]["step"] == 2
+
+    w_off = MetricsWriter(None)
+    w_off.scalar("loss", 1.0, 0)  # must not raise
+
+
+def test_launcher_flags_exist_in_package():
+    """Every --flag used by a launcher preset is defined somewhere in the
+    package (catches launcher/CLI drift; the reference's bash scripts had no
+    such check and shipped references to a missing div2k dataset —
+    SURVEY §7.4)."""
+    import glob
+    import os
+    import re
+
+    pkg_dir = os.path.join(os.path.dirname(__file__), "..")
+    src = ""
+    for p in glob.glob(
+        os.path.join(pkg_dir, "mobilesuperresolution_tpu", "**", "*.py"),
+        recursive=True,
+    ):
+        src += open(p).read()
+    launchers = glob.glob(os.path.join(pkg_dir, "launchers", "*.sh"))
+    assert launchers, "no launcher presets found"
+    missing = []
+    for lp in launchers:
+        for flag in re.findall(r"(--[a-z_]+)", open(lp).read()):
+            if f'"{flag}"' not in src:
+                missing.append((os.path.basename(lp), flag))
+    assert not missing, missing
