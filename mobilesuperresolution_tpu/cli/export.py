@@ -18,9 +18,18 @@ from mobilesuperresolution_tpu.train.checkpoint import load_params_npz
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser("Export searched model")
+    parser = argparse.ArgumentParser("Export a model for deployment")
     parser.add_argument("--scale", type=int, default=2)
-    parser.add_argument("--block_index", type=str, required=True)
+    parser.add_argument(
+        "--model_type",
+        default="result",
+        choices=["result", "basic", "basic_origin", "basic_mv", "single", "multi"],
+        help="'result' = the searched SISR net (the reference's only export "
+        "path); VSR types export the full recurrent forward (beyond the "
+        "reference).",
+    )
+    parser.add_argument("--block_index", type=str, default=None,
+                        help="search artifact (required for result/multi)")
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--params", type=str, default=None)
     parser.add_argument(
@@ -31,21 +40,44 @@ def main(argv=None):
     # reference export input 1x3x360x540 (export_onnx.py:138-141) — NHWC here
     parser.add_argument("--height", type=int, default=360)
     parser.add_argument("--width", type=int, default=540)
+    parser.add_argument("--frames", type=int, default=10,
+                        help="clip length for VSR exports")
     args = parser.parse_args(argv)
 
-    model = ResultNet.from_artifact(args.block_index, scale=args.scale)
-    shape = (1, args.height, args.width, 3)
-    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros(shape))
+    if args.model_type == "result":
+        if not args.block_index:
+            parser.error("--block_index is required for --model_type result")
+        model = ResultNet.from_artifact(args.block_index, scale=args.scale)
+        shape = (1, args.height, args.width, 3)
+        init_args = (jnp.zeros(shape),)
+        apply_fn = model.apply
+    else:
+        from mobilesuperresolution_tpu.models import get_vsr_model
+
+        if args.model_type == "multi" and not args.block_index:
+            parser.error("--block_index is required for --model_type multi")
+        model = get_vsr_model(
+            args.model_type, scale=args.scale, block_index_path=args.block_index
+        )
+        c_in = 5 if args.model_type == "basic_mv" else 3
+        oh, ow = args.height * args.scale, args.width * args.scale
+        shape = (1, args.frames, args.height, args.width, c_in)
+        init_args = (jnp.zeros(shape), oh, ow)
+        apply_fn = lambda v, x: model.apply(v, x, oh, ow)
+
+    variables = jax.jit(
+        model.init, static_argnums=tuple(range(2, 1 + len(init_args)))
+    )(jax.random.key(0), *init_args)
     params = variables["params"]
     if args.params:
         params = load_params_npz(args.params, params)
 
     for fmt in args.format:
         if fmt == "stablehlo":
-            p = export_stablehlo(model.apply, params, shape, args.out + ".stablehlo")
+            p = export_stablehlo(apply_fn, params, shape, args.out + ".stablehlo")
         else:
             p = export_tflite(
-                model.apply, params, shape, args.out + ".tflite", quantize=args.quantize
+                apply_fn, params, shape, args.out + ".tflite", quantize=args.quantize
             )
         print(f"exported {fmt} → {p}")
 

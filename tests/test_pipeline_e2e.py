@@ -162,3 +162,23 @@ def test_prepare_dataset_cli(tmp_path):
     )
     log = (job / "result.log").read_text()
     assert "items cached" in log
+
+
+def test_export_vsr_stablehlo(tmp_path):
+    """VSR export (beyond the reference's SISR-only path): the full
+    recurrent BasicVSR forward serializes to StableHLO and round-trips."""
+    from jax import export as jax_export
+
+    from mobilesuperresolution_tpu.cli import export as export_cli
+
+    out = tmp_path / "vsr_model"
+    export_cli.main(
+        ["--model_type", "basic", "--scale", "2", "--out", str(out),
+         "--height", "16", "--width", "16", "--frames", "2",
+         "--format", "stablehlo"]
+    )
+    blob = (tmp_path / "vsr_model.stablehlo").read_bytes()
+    reloaded = jax_export.deserialize(blob)
+    y = reloaded.call(jnp.zeros((1, 2, 16, 16, 3), jnp.float32))
+    assert y.shape == (1, 2, 32, 32, 3)
+    assert np.isfinite(np.asarray(y)).all()
