@@ -58,9 +58,11 @@ def add_search_args(parser):
                         help="Make the latency estimate STE-differentiable "
                         "(the reference leaves it no-grad).")
     parser.add_argument("--speed_table", type=str, default=None,
-                        help="Path to a measured (N,4) latency-table .npy from "
-                        "kernels/timing.py; replaces the analytic fallback "
-                        "with on-TPU measurements.")
+                        help="Measured (N,4) latency table: a .npy path from "
+                        "kernels/timing.py, a packaged device name (e.g. "
+                        "'tpu_v5_lite'), or 'auto' for the current backend's "
+                        "checked-in table. Replaces the analytic fallback "
+                        "with real measurements.")
     parser.add_argument("--build_speed_table", action="store_true",
                         help="Run the on-TPU timing harness first and use the "
                         "resulting table (written to <job_dir>/speed_table.npy).")
@@ -107,14 +109,30 @@ def main(argv=None):
         rows = build_latency_table(
             ch_in_choices=(params.num_residual_units,),
             out_path=table_path,
+            method="loop",  # RTT paid once per config, not per run
         )
         params.speed_table = table_path
         logging.info(f"latency table ({rows.shape[0]} rows) → {table_path}")
     if params.speed_table:
+        import os as _os
+
         import numpy as _np
 
-        from mobilesuperresolution_tpu.nas.speed_estimator import densify_speed_table
+        from mobilesuperresolution_tpu.nas.speed_estimator import (
+            densify_speed_table,
+            packaged_table_path,
+        )
 
+        if not _os.path.exists(params.speed_table):
+            resolved = packaged_table_path(
+                None if params.speed_table == "auto" else params.speed_table
+            )
+            if resolved is None:
+                raise SystemExit(
+                    f"--speed_table {params.speed_table!r}: not a file and no "
+                    "packaged table of that name (nas/speed_tables/)"
+                )
+            params.speed_table = resolved
         rows = _np.load(params.speed_table)
         speed_table = jnp.asarray(
             densify_speed_table(rows, max_ch=params.num_residual_units)

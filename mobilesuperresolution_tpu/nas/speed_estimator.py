@@ -20,6 +20,8 @@ replaces the reference's mobile TFLite latency tables with tables produced by
 the on-TPU kernel timing harness (kernels/timing.py).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,25 @@ import numpy as np
 from mobilesuperresolution_tpu.ops.ste import binary_mask, rounding
 
 KERNEL_CHOICES = (3, 5, 7)
+
+# Checked-in measured tables (the role of the reference's
+# speed_models/speed_data/<device>/<proc>.npy, produced by kernels/timing.py
+# on real hardware instead of mobile TFLite benchmark logs).
+SPEED_TABLE_DIR = os.path.join(os.path.dirname(__file__), "speed_tables")
+
+
+def packaged_table_path(name=None):
+    """Path of a checked-in measured latency table, or None.
+
+    ``name=None`` resolves the current backend's device kind (e.g.
+    'TPU v5 lite' → speed_tables/tpu_v5_lite.npy) — the analog of the
+    reference's ``loss_config.mobile_device`` device selection."""
+    if name is None:
+        import jax as _jax
+
+        name = _jax.devices()[0].device_kind.lower().replace(" ", "_")
+    p = os.path.join(SPEED_TABLE_DIR, f"{name}.npy")
+    return p if os.path.exists(p) else None
 
 
 def analytic_block_speed(ch_mask, ch_split, kernel):

@@ -42,11 +42,13 @@ def relative_squared_error(pred, target, scale=1.0):
 
 
 def train_speed_predictor(
-    rows, seed=0, epochs=400, lr=1e-2, batch_size=32, scale=1.0
+    rows, seed=0, epochs=400, lr=1e-2, batch_size=32, scale=1.0, optimizer="sgd"
 ):
     """rows: (N, 4) [ch_in, ch_split, kernel, ms]. Returns (params, report).
 
-    80/20 train/val split like the reference trainer."""
+    80/20 train/val split like the reference trainer. optimizer="sgd" is the
+    reference recipe (SGD+momentum+StepLR); "adam" fits the unnormalized
+    (ch, ch, k) features much better and is used for the shipped artifacts."""
     rows = np.asarray(rows, dtype=np.float32)
     rng = np.random.default_rng(seed)
     order = rng.permutation(len(rows))
@@ -56,7 +58,7 @@ def train_speed_predictor(
     model = SpeedPredictor(num_feat=3)
     params = model.init(jax.random.key(seed), jnp.zeros((1, 3)))["params"]
     sched = optax.exponential_decay(lr, transition_steps=epochs // 4 * max(1, n_train // batch_size), decay_rate=0.5, staircase=True)
-    tx = optax.sgd(sched, momentum=0.9)
+    tx = optax.adam(sched) if optimizer == "adam" else optax.sgd(sched, momentum=0.9)
     opt_state = tx.init(params)
 
     @jax.jit
@@ -83,6 +85,37 @@ def train_speed_predictor(
 
     report = {"train_rel_err": _eval(train), "val_rel_err": _eval(val) if len(val) else None}
     return params, report
+
+
+def save_predictor(params, path):
+    """Serialize trained predictor params (flax msgpack — the role of the
+    reference's speed_models/weights/<device>/<proc>/<proc>.pt)."""
+    from flax import serialization
+
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(params))
+
+
+def load_predictor(path):
+    from flax import serialization
+
+    model = SpeedPredictor(num_feat=3)
+    template = model.init(jax.random.key(0), jnp.zeros((1, 3)))["params"]
+    with open(path, "rb") as f:
+        return serialization.from_bytes(template, f.read())
+
+
+def packaged_predictor_path(name=None):
+    """Checked-in trained predictor for a device kind (None → current
+    backend), or None if not shipped."""
+    import os
+
+    from mobilesuperresolution_tpu.nas.speed_estimator import SPEED_TABLE_DIR
+
+    if name is None:
+        name = jax.devices()[0].device_kind.lower().replace(" ", "_")
+    p = os.path.join(SPEED_TABLE_DIR, f"{name}_predictor.msgpack")
+    return p if os.path.exists(p) else None
 
 
 class MLPSpeedEstimator:

@@ -136,3 +136,73 @@ class TestEvalSets:
         name, lr, hr = ds[0]
         assert name == "baby"
         assert lr.shape == (16, 16, 3) and hr.shape == (32, 32, 3)
+
+
+class _ScriptedRng:
+    """Deterministic stand-in for the dataset RNG: scripted flip draws and
+    crop positions."""
+
+    def __init__(self, randoms, ints):
+        self._r = iter(randoms)
+        self._i = iter(ints)
+
+    def random(self):
+        return next(self._r)
+
+    def integers(self, lo, hi):
+        return next(self._i)
+
+
+class TestRedsWithMV:
+    def _tree(self, tmp_path, split):
+        sub_lr = f"{split}/{split}_sharp_bicubic/X4"
+        sub_hr = f"{split}/{split}_sharp"
+        for clip in ("000", "153"):
+            for f in range(3):
+                _png(tmp_path / "REDS" / sub_lr / clip / f"{f:08d}.png", (16, 16))
+                _png(tmp_path / "REDS" / sub_hr / clip / f"{f:08d}.png", (64, 64))
+            mv = np.zeros((3, 16, 16, 2), dtype=np.float32)
+            mv[..., 0] = 1.0  # dx
+            mv[..., 1] = 2.0  # dy
+            d = tmp_path / "REDS" / sub_lr / clip / "hex-me16-ref1"
+            os.makedirs(d, exist_ok=True)
+            np.save(d / "motion.npy", mv)
+
+    def test_train_item_flip_negates_mv(self, tmp_path):
+        from mobilesuperresolution_tpu.data import reds_with_mv
+
+        self._tree(tmp_path, "train")
+        p = _params(tmp_path, lr_patch_size=8, num_patches=1, image_batch=3)
+        ds = reds_with_mv.get_dataset(modes.TRAIN, p)
+        # clip 153 skipped (reference reds_with_mv.py:132) → windows only from 000
+        assert len(ds) == 1
+        # horizontal flip only (p1 < 0.5 ≤ p2), crop at (x=2, y=3)
+        ds.rng = _ScriptedRng([0.4, 0.9], [2, 3])
+        lr, hr = ds[0]
+        assert lr.shape == (3, 8, 8, 5) and hr.shape == (3, 32, 32, 3)
+        # width flip negates dx (channel 3), dy (channel 4) unchanged;
+        # MV values are raw pixel displacements, NOT /255
+        np.testing.assert_allclose(lr[..., 3], -1.0)
+        np.testing.assert_allclose(lr[..., 4], 2.0)
+        # RGB channels match a manual crop + width-flip of the source frame
+        from PIL import Image
+
+        src = np.asarray(
+            Image.open(
+                tmp_path / "REDS/train/train_sharp_bicubic/X4/000/00000000.png"
+            )
+        ).astype(np.float32) / 255.0
+        expected = src[2:10, 3:11][:, ::-1]
+        np.testing.assert_allclose(lr[0, ..., :3], expected)
+
+    def test_eval_item(self, tmp_path):
+        from mobilesuperresolution_tpu.data import reds_with_mv
+
+        self._tree(tmp_path, "val")
+        p = _params(tmp_path, image_batch=3, val_image_batch=3)
+        ds = reds_with_mv.get_dataset(modes.EVAL, p)
+        name, lr, hr = ds[0]
+        assert name == "00000000000"
+        assert lr.shape == (3, 16, 16, 5) and hr.shape == (3, 64, 64, 3)
+        np.testing.assert_allclose(lr[..., 3], 1.0)
+        np.testing.assert_allclose(lr[..., 4], 2.0)

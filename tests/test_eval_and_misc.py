@@ -244,3 +244,24 @@ def test_launcher_flags_exist_in_package():
             if f'"{flag}"' not in src:
                 missing.append((os.path.basename(lp), flag))
     assert not missing, missing
+
+
+def test_meters_and_modes():
+    from mobilesuperresolution_tpu.core import modes
+    from mobilesuperresolution_tpu.core.meters import AverageMeter, TimeMeter
+
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0, n=3)
+    assert m.val == 4.0 and m.count == 4
+    assert m.avg == pytest.approx((2.0 + 4.0 * 3) / 4)
+    m.reset()
+    assert m.avg == 0.0 and m.count == 0
+
+    t = TimeMeter()
+    t.start_time -= 2.0  # pretend 2 s elapsed
+    t.update(4)
+    assert t.rate == pytest.approx(2.0, rel=0.2)
+    assert t.complete_time(6) == pytest.approx(3.0, rel=0.2)
+
+    assert modes.TRAIN == "train" and modes.EVAL == "eval" and modes.PREDICT == "predict"

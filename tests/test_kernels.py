@@ -185,3 +185,71 @@ class TestConv5x5Pallas:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=1e-4
         )
+
+
+class TestPackagedSpeedArtifacts:
+    """Checked-in measured latency tables + trained predictor weights (the
+    role of the reference's speed_models/speed_data + weights/ artifacts)."""
+
+    def test_packaged_table_roundtrip(self):
+        import os
+
+        from mobilesuperresolution_tpu.nas.speed_estimator import (
+            SPEED_TABLE_DIR,
+            TableSpeedEstimator,
+            densify_speed_table,
+            packaged_table_path,
+        )
+
+        tables = (
+            [f for f in os.listdir(SPEED_TABLE_DIR) if f.endswith(".npy")]
+            if os.path.isdir(SPEED_TABLE_DIR)
+            else []
+        )
+        if not tables:
+            pytest.skip("no packaged speed table checked in")
+        name = tables[0][:-4]
+        path = packaged_table_path(name)
+        assert path is not None
+        rows = np.load(path)
+        assert rows.ndim == 2 and rows.shape[1] == 4
+        assert (rows[:, 3] >= 0).all() and np.isfinite(rows).all()
+        est = TableSpeedEstimator(rows)
+        r = rows[len(rows) // 2]
+        assert est(r[0], r[1], r[2]) == pytest.approx(r[3])
+        dense = densify_speed_table(rows, max_ch=8)
+        assert dense.shape == (3, 9, 9) and (dense >= 0).all()
+        assert packaged_table_path("no_such_device") is None
+
+    def test_packaged_predictor(self):
+        from mobilesuperresolution_tpu.nas.speed_estimator import (
+            packaged_table_path,
+        )
+        from mobilesuperresolution_tpu.nas.speed_model import (
+            MLPSpeedEstimator,
+            load_predictor,
+            packaged_predictor_path,
+        )
+
+        import os
+
+        from mobilesuperresolution_tpu.nas.speed_estimator import SPEED_TABLE_DIR
+
+        preds = (
+            [f for f in os.listdir(SPEED_TABLE_DIR) if f.endswith(".msgpack")]
+            if os.path.isdir(SPEED_TABLE_DIR)
+            else []
+        )
+        if not preds:
+            pytest.skip("no packaged predictor checked in")
+        name = preds[0][: -len("_predictor.msgpack")]
+        path = packaged_predictor_path(name)
+        assert path is not None
+        est = MLPSpeedEstimator(load_predictor(path))
+        rows = np.load(packaged_table_path(name))
+        # predictor interpolates the measured table: median relative error
+        # must be small on the table's own configs
+        rel = [
+            abs(est(r[0], r[1], r[2]) - r[3]) / max(r[3], 1e-6) for r in rows
+        ]
+        assert float(np.median(rel)) < 0.35
