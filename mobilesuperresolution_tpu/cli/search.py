@@ -33,6 +33,7 @@ from mobilesuperresolution_tpu.models.wdsr_nas import (
     get_width_from_block_idx,
 )
 from mobilesuperresolution_tpu.nas import SpeedLoss, append_block_index, get_ori_speed
+from mobilesuperresolution_tpu.nas.speed_estimator import KERNEL_CHOICES
 from mobilesuperresolution_tpu.nas.search import (
     PHASES,
     phase_epochs,
@@ -88,16 +89,6 @@ def main(argv=None):
     train_ds = dataset_module.get_dataset(modes.TRAIN, params)
     steps_per_epoch = max(len(train_ds) // params.train_batch_size, 1)
 
-    ori_speed = get_ori_speed(params.num_blocks, params.num_residual_units)
-    logging.info(f"Supernet Speed: {ori_speed:.02f} ms; target {params.speed_target:.02f} ms")
-    speed_loss = SpeedLoss(scale=ori_speed - params.speed_target)
-    scheduler = SpeedScheduler(
-        search_epoch=params.width_epochs + params.epochs,
-        total_speed=ori_speed,
-        target_speed=params.speed_target,
-        gamma=0.5,
-    )
-
     speed_table = None
     if params.build_speed_table:
         import os
@@ -138,6 +129,25 @@ def main(argv=None):
             densify_speed_table(rows, max_ch=params.num_residual_units)
         )
         logging.info(f"using measured latency table from {params.speed_table}")
+
+    # Supernet baseline speed: with a measured table, num_blocks × the
+    # measured full-width k=7 block (the table analog of get_ori_speed =
+    # blocks × analytic block_speed(k=7), speed_models/helpers.py:5-15) —
+    # the analytic mobile estimate is ~20x the TPU-measured latency, which
+    # would skew the SpeedLoss scale and the annealing start.
+    if speed_table is not None:
+        u = params.num_residual_units
+        ori_speed = float(params.num_blocks * speed_table[KERNEL_CHOICES.index(7), u, u])
+    else:
+        ori_speed = get_ori_speed(params.num_blocks, params.num_residual_units)
+    logging.info(f"Supernet Speed: {ori_speed:.02f} ms; target {params.speed_target:.02f} ms")
+    speed_loss = SpeedLoss(scale=max(ori_speed - params.speed_target, 1e-6))
+    scheduler = SpeedScheduler(
+        search_epoch=params.width_epochs + params.epochs,
+        total_speed=ori_speed,
+        target_speed=params.speed_target,
+        gamma=0.5,
+    )
 
     sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
     variables = jax.jit(model.init)(jax.random.key(params.seed), sample)

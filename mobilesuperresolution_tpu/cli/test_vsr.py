@@ -32,6 +32,7 @@ def main(argv=None):
         scale=params.scale,
         block_index_path=params.model_path,
         compute_dtype=dtype,
+        flow_downscale=getattr(params, "flow_downscale", 1),
     )
     c_in = 5 if params.model_type == "basic_mv" else 3
     t = params.image_batch

@@ -53,6 +53,17 @@ def add_vsr_args(parser):
                         help="block_index.txt for the 'multi' model.")
     parser.add_argument("--spynet_weights", type=str, default=None,
                         help="Pretrained SpyNet params .npz (optional).")
+    parser.add_argument("--chunk_frames", type=int, default=0,
+                        help="Evaluate long clips in temporal windows of this "
+                        "many output frames (bounded memory; 0 = whole clip).")
+    parser.add_argument("--chunk_overlap", type=int, default=4,
+                        help="Context frames on each side of a chunk window.")
+    parser.add_argument("--chunk_data_parallel", action="store_true",
+                        help="Shard groups of chunk windows over the mesh "
+                        "'data' axis (device-parallel long-clip eval).")
+    parser.add_argument("--flow_downscale", type=int, default=1,
+                        help="Run SpyNet on 1/d-res frames and upsample the "
+                        "flow (basic/basic_origin; 1 = exact reference flows).")
 
 
 def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
@@ -64,8 +75,26 @@ def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
         static_argnums=(2, 3),
     )
 
-    def fwd(lr_clip, oh, ow):
+    def base_fwd(lr_clip, oh, ow):
         return jitted(state.params, lr_clip, oh, ow)
+
+    if getattr(params, "chunk_frames", 0):
+        from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+        chunk_mesh = (
+            make_mesh(spatial=1)
+            if getattr(params, "chunk_data_parallel", False)
+            else None
+        )
+
+        def fwd(lr_clip, oh, ow):
+            return chunked_vsr_apply(
+                base_fwd, lr_clip, oh, ow,
+                chunk=params.chunk_frames, overlap=params.chunk_overlap,
+                mesh=chunk_mesh,
+            )
+    else:
+        fwd = base_fwd
 
     for name, mod in eval_mods:
         ds = mod.get_dataset(modes.EVAL, params)
@@ -104,6 +133,7 @@ def main(argv=None):
         scale=params.scale,
         block_index_path=params.model_path,
         compute_dtype=dtype,
+        flow_downscale=getattr(params, "flow_downscale", 1),
     )
 
     train_ds = None if params.eval_only else dataset_module.get_dataset(modes.TRAIN, params)

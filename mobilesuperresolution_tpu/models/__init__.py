@@ -58,11 +58,20 @@ def get_model(params):
     raise KeyError(f"unknown SISR model_type {params.model_type!r}")
 
 
-def get_vsr_model(model_type, scale=4, block_index_path=None, compute_dtype=jnp.float32):
+def get_vsr_model(
+    model_type,
+    scale=4,
+    block_index_path=None,
+    compute_dtype=jnp.float32,
+    flow_downscale=1,
+):
     """Build a VSR model by type string ('single' | 'multi' | 'basic' |
     'basic_mv' | 'basic_origin'), with the reference's canonical sizes
     (train_video_superresolution.py:243-253,
-    test_video_superresolution.py:222-235)."""
+    test_video_superresolution.py:222-235).
+
+    flow_downscale: SpyNet input downscale for the 'basic'/'basic_origin'
+    recurrent models (1 = exact reference flows; see BasicVSRBase)."""
     if model_type == "single":
         return SingleImageModel(
             scale=scale, channel=32, blocks=8, kernel=3, compute_dtype=compute_dtype
@@ -80,13 +89,23 @@ def get_vsr_model(model_type, scale=4, block_index_path=None, compute_dtype=jnp.
             block_index_path, scale=scale, compute_dtype=compute_dtype
         )
     if model_type == "basic":
-        return BasicVSR(num_feat=24, num_block=8, scale=scale, compute_dtype=compute_dtype)
+        return BasicVSR(
+            num_feat=24,
+            num_block=8,
+            scale=scale,
+            compute_dtype=compute_dtype,
+            flow_downscale=flow_downscale,
+        )
     if model_type == "basic_mv":
         return MotionVectorVSR(
             num_feat=20, num_block=8, scale=scale, compute_dtype=compute_dtype
         )
     if model_type == "basic_origin":
         return BasicVSROrigin(
-            num_feat=64, num_block=30, scale=scale, compute_dtype=compute_dtype
+            num_feat=64,
+            num_block=30,
+            scale=scale,
+            compute_dtype=compute_dtype,
+            flow_downscale=flow_downscale,
         )
     raise KeyError(f"unknown VSR model_type {model_type!r}")

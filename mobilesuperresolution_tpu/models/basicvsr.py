@@ -146,16 +146,34 @@ class BasicVSRBase(nn.Module):
     scale: int = 4
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    # >1: run SpyNet on 1/d-resolution frames and bilinearly upsample the
+    # flow (values rescaled). SpyNet is ~60% of the 1080p x4 pipeline
+    # (DESIGN.md) and its cost is quadratic in resolution, so d=2 removes
+    # ~3/4 of it. Opt-in speed/quality trade — d=1 (default) is the exact
+    # reference computation (basicvsr_arch.py:45-54).
+    flow_downscale: int = 1
 
     def _flows(self, x):
         """x: (B, T, H, W, C) → (flows_forward, flows_backward), each
         (T-1, B, H, W, 2), both directions in one SpyNet batch."""
         b, t, h, w, c = x.shape
-        x1 = x[:, :-1].reshape(b * (t - 1), h, w, c)
-        x2 = x[:, 1:].reshape(b * (t - 1), h, w, c)
+        d = self.flow_downscale
+        fh, fw = (max(h // d, 1), max(w // d, 1)) if d > 1 else (h, w)
+        xf = x
+        if (fh, fw) != (h, w):
+            # resize the T frames once (not each of the 2(T-1) pair slots)
+            xf = resize_bilinear(
+                x.reshape(b * t, h, w, c), (fh, fw), align_corners=False
+            ).reshape(b, t, fh, fw, c)
+        x1 = xf[:, :-1].reshape(b * (t - 1), fh, fw, c)
+        x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
         ref = jnp.concatenate([x1, x2], axis=0)
         supp = jnp.concatenate([x2, x1], axis=0)
         flows = SpyNet(name="spynet")(ref, supp)
+        if (fh, fw) != (h, w):
+            flows = resize_bilinear(flows, (h, w), align_corners=False)
+            # channel 0 = dx (scales with width), 1 = dy (with height)
+            flows = flows * jnp.asarray([w / fw, h / fh], flows.dtype)
         fb = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
         ff = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
         # time-major for scan

@@ -5,3 +5,4 @@ from mobilesuperresolution_tpu.parallel.mesh import (
     shard_batch,
 )
 from mobilesuperresolution_tpu.parallel.halo import spatially_sharded_apply
+from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply

@@ -199,3 +199,104 @@ def test_nas_model_with_measured_speed_table():
     assert out.shape == (1, 16, 16, 3)
     assert float(speed_tab) > 0
     assert abs(float(speed_tab) - float(speed_analytic)) > 1e-3  # different model
+
+
+class TestFlowDownscale:
+    """BasicVSRBase.flow_downscale: half-res SpyNet with upsampled flows —
+    same params (checkpoint-compatible), approximate flows."""
+
+    def test_param_tree_identical_and_output_close(self):
+        t, h, w = 4, 16, 16
+        m1 = get_vsr_model("basic", scale=2)
+        m2 = get_vsr_model("basic", scale=2, flow_downscale=2)
+        x = jnp.asarray(np.random.default_rng(3).random((1, t, h, w, 3)), jnp.float32)
+        p1 = m1.init(jax.random.key(0), x, h * 2, w * 2)
+        p2 = m2.init(jax.random.key(0), x, h * 2, w * 2)
+        assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+            assert a.shape == b.shape
+        o1 = np.asarray(m1.apply(p1, x, h * 2, w * 2))
+        # apply the d=1 weights under d=2 — the deployment scenario
+        o2 = np.asarray(m2.apply(p1, x, h * 2, w * 2))
+        assert o2.shape == o1.shape
+        assert np.isfinite(o2).all()
+        # flows are approximate, not garbage
+        assert float(np.mean(np.abs(o2 - o1))) < 0.05
+
+
+class TestTemporalChunking:
+    """parallel/temporal.py: bounded-memory long-clip inference."""
+
+    def _fwd(self, m, params):
+        def f(x, oh, ow):
+            return m.apply(params, x, oh, ow)
+
+        return f
+
+    def test_frame_parallel_model_is_exact(self):
+        from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+        t, h, w = 9, 8, 8
+        m = get_vsr_model("single", scale=2)
+        x = jnp.asarray(np.random.default_rng(0).random((1, t, h, w, 3)), jnp.float32)
+        params = m.init(jax.random.key(0), x, h * 2, w * 2)
+        full = m.apply(params, x, h * 2, w * 2)
+        chunked = chunked_vsr_apply(
+            self._fwd(m, params), x, h * 2, w * 2, chunk=2, overlap=1
+        )
+        assert chunked.shape == full.shape
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5)
+
+    def test_recurrent_error_bounded_and_monotone_in_overlap(self):
+        from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+        t, h, w = 10, 8, 8
+        m = get_vsr_model("basic", scale=2)
+        x = jnp.asarray(np.random.default_rng(1).random((1, t, h, w, 3)), jnp.float32)
+        params = m.init(jax.random.key(0), x, h * 2, w * 2)
+        full = np.asarray(m.apply(params, x, h * 2, w * 2))
+
+        def err(overlap):
+            out = chunked_vsr_apply(
+                self._fwd(m, params), x, h * 2, w * 2, chunk=2, overlap=overlap
+            )
+            return float(np.mean(np.abs(np.asarray(out) - full)))
+
+        e1, e3 = err(1), err(3)
+        assert e3 <= e1 + 1e-6  # more context → closer to full-clip forward
+        assert e3 < 0.02  # propagated features decay: small residual error
+
+    def test_mesh_sharded_windows_match_serial(self):
+        """mesh= folds window groups into the batch dim sharded on 'data' —
+        must produce the same frames as the serial window loop."""
+        from mobilesuperresolution_tpu.parallel import make_mesh
+        from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+        t, h, w = 11, 8, 8
+        m = get_vsr_model("basic", scale=2)
+        x = jnp.asarray(np.random.default_rng(2).random((1, t, h, w, 3)), jnp.float32)
+        params = m.init(jax.random.key(0), x, h * 2, w * 2)
+        fwd = self._fwd(m, params)
+        serial = chunked_vsr_apply(fwd, x, h * 2, w * 2, chunk=2, overlap=2)
+        mesh = make_mesh(data=8)
+        sharded = chunked_vsr_apply(
+            fwd, x, h * 2, w * 2, chunk=2, overlap=2, mesh=mesh
+        )
+        assert sharded.shape == (1, t, h * 2, w * 2, 3)
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(serial), atol=1e-5
+        )
+
+    def test_whole_clip_passthrough(self):
+        from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+        t, h, w = 4, 8, 8
+        m = get_vsr_model("single", scale=2)
+        x = jnp.zeros((1, t, h, w, 3))
+        params = m.init(jax.random.key(0), x, h * 2, w * 2)
+        out = chunked_vsr_apply(
+            self._fwd(m, params), x, h * 2, w * 2, chunk=t, overlap=2
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(m.apply(params, x, h * 2, w * 2))
+        )

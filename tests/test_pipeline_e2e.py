@@ -149,6 +149,23 @@ def test_train_vsr_then_eval_cli(tmp_path):
     log = (eval_job / "result.log").read_text()
     assert "psnr" in log.lower()
 
+    # chunked (bounded-memory) eval must agree exactly for the
+    # frame-parallel 'single' model (parallel/temporal.py)
+    import re
+
+    chunk_job = tmp_path / "vsr_eval_chunked"
+    test_vsr_cli.main(
+        ["--job_dir", str(chunk_job), "--eval_model", str(weights),
+         "--chunk_frames", "1", "--chunk_overlap", "0", *common]
+    )
+
+    def psnr_of(text):
+        return float(re.search(r"PSNR=([\d.]+)", text).group(1))
+
+    assert psnr_of((chunk_job / "result.log").read_text()) == pytest.approx(
+        psnr_of(log), abs=1e-3
+    )
+
 
 def test_prepare_dataset_cli(tmp_path):
     """prepare_dataset builds caches / counts items for both modes
