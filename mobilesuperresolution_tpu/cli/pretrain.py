@@ -58,13 +58,20 @@ def run_evaluation(params, state, model, eval_mods, logging, epoch):
 
 def main(argv=None):
     parser = base_parser("SISR pretraining (TPU)")
+    parser.add_argument(
+        "--spatial_shards", type=int, default=1,
+        help="Shard the patch HEIGHT over this many devices (mesh 'spatial' "
+        "axis) with exact-gradient overlap windows — enables training on "
+        "patches larger than one device's activation memory "
+        "(parallel/spatial_train.py). 1 = plain data parallelism.",
+    )
     params, dataset_module = parse_with_plugins(parser, argv)
     logging = LoggingTool(params.job_dir)
     logging.info(attr_extractor(params))
     if params.debug:
         jax.config.update("jax_debug_nans", True)
 
-    mesh = make_mesh(spatial=1)
+    mesh = make_mesh(spatial=params.spatial_shards)
     model = get_model(params)
 
     train_ds = None if params.eval_only else dataset_module.get_dataset(modes.TRAIN, params)
@@ -89,7 +96,17 @@ def main(argv=None):
         run_evaluation(params, state, model, eval_mods, logging, start_epoch)
         return
 
-    step = make_sisr_step(state)
+    if params.spatial_shards > 1:
+        from mobilesuperresolution_tpu.parallel import make_spatial_sisr_step
+        from mobilesuperresolution_tpu.parallel.halo import receptive_radius_wdsr
+
+        # worst-case per-block kernel: 3 for the fixed WDSR-B, 7 for the NAS
+        # supernet (kernel branches up to 7x7)
+        k = 7 if params.model_type == "NAS_MODEL" else 3
+        radius = receptive_radius_wdsr(params.num_blocks, block_kernel=k)
+        step = make_spatial_sisr_step(state, mesh, radius=radius, scale=params.scale)
+    else:
+        step = make_sisr_step(state)
     writer = MetricsWriter(params.job_dir)
     with mesh:
         for epoch in range(start_epoch + 1, params.epochs + 1):

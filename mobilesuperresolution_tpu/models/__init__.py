@@ -80,7 +80,10 @@ def get_vsr_model(
         if block_index_path is None:
             raise ValueError("'multi' needs block_index_path (search artifact)")
         return NaiveMultiModel.from_artifact(
-            block_index_path, scale=scale, compute_dtype=compute_dtype
+            block_index_path,
+            scale=scale,
+            compute_dtype=compute_dtype,
+            flow_downscale=flow_downscale,
         )
     if model_type == "multi_v1":
         if block_index_path is None:

@@ -48,6 +48,9 @@ class NaiveMultiModel(nn.Module):
     scale: int
     idx: Tuple[Tuple[int, int, int], ...]
     compute_dtype: Any = jnp.float32
+    # >1: SpyNet on 1/d-res frames, flow upsampled with rescaled values —
+    # same opt-in speed/quality trade as BasicVSRBase.flow_downscale.
+    flow_downscale: int = 1
 
     @classmethod
     def from_artifact(cls, path, scale, **kw):
@@ -62,9 +65,20 @@ class NaiveMultiModel(nn.Module):
         ch = self.idx[0][0]
 
         # forward flows for all (t-1, t) pairs in one SpyNet batch
-        x1 = x[:, :-1].reshape(b * (t - 1), h, w, c)
-        x2 = x[:, 1:].reshape(b * (t - 1), h, w, c)
-        ff = SpyNet(name="flownet")(x2, x1).reshape(b, t - 1, h, w, 2)
+        d = self.flow_downscale
+        fh, fw = (max(h // d, 1), max(w // d, 1)) if d > 1 else (h, w)
+        xf = x
+        if (fh, fw) != (h, w):
+            xf = resize_bilinear(
+                x.reshape(b * t, h, w, c), (fh, fw), align_corners=False
+            ).reshape(b, t, fh, fw, c)
+        x1 = xf[:, :-1].reshape(b * (t - 1), fh, fw, c)
+        x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
+        ff = SpyNet(name="flownet")(x2, x1)
+        if (fh, fw) != (h, w):
+            ff = resize_bilinear(ff, (h, w), align_corners=False)
+            ff = ff * jnp.asarray([w / fw, h / fh], ff.dtype)
+        ff = ff.reshape(b, t - 1, h, w, 2)
         # frame 0: zero flow (naive_multi_model_easy.py:125-128); explicit
         # shape so T=1 clips work
         flows = jnp.concatenate([jnp.zeros((b, 1, h, w, 2), x.dtype), ff], axis=1)

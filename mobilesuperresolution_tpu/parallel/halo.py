@@ -33,6 +33,45 @@ def receptive_radius_wdsr(num_blocks, block_kernel=3):
     return 1 + num_blocks * (block_kernel // 2) + 1
 
 
+def shard_offsets(h, n, radius):
+    """Per-shard window start rows: interior windows centered on their output
+    rows, edge windows shifted inward to end exactly at the image edge."""
+    hs = h // n
+    win = hs + 2 * radius
+    return [min(max(i * hs - radius, 0), h - win) for i in range(n)]
+
+
+def build_windows(x, n, radius):
+    """x: (B, H, W, C) → (n, B, H/n + 2·radius, W, C) overlap windows (static
+    slices — differentiable; the overlap gather is the halo exchange)."""
+    h = x.shape[1]
+    hs = h // n
+    win = hs + 2 * radius
+    offsets = shard_offsets(h, n, radius)
+    return jnp.stack([x[:, o : o + win] for o in offsets])
+
+
+def crop_concat(y, h, n, radius, scale=1):
+    """y: (n, B, win·scale, W·scale, C') per-window outputs → (B, H·scale,
+    W·scale, C'): keep each window's central H/n output rows (disjoint, cover
+    the image exactly once)."""
+    hs = h // n
+    offsets = shard_offsets(h, n, radius)
+    parts = [
+        y[i, :, (i * hs - offsets[i]) * scale : (i * hs - offsets[i] + hs) * scale]
+        for i in range(n)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def _check_shardable(h, n, radius):
+    assert h % n == 0, f"H={h} not divisible by {n} shards"
+    hs = h // n
+    assert hs >= 2 * radius or n == 1, (
+        f"shard height {hs} must be >= 2*radius={2 * radius}"
+    )
+
+
 def spatially_sharded_apply(apply_fn, x, mesh, radius, scale=1, axis="spatial"):
     """Run ``apply_fn`` (pure conv forward, e.g. partial(model.apply, params))
     on x: (B, H, W, C) with H split over the mesh's ``axis``. Returns the
@@ -41,23 +80,12 @@ def spatially_sharded_apply(apply_fn, x, mesh, radius, scale=1, axis="spatial"):
     """
     n = mesh.shape[axis]
     b, h, w, c = x.shape
-    assert h % n == 0, f"H={h} not divisible by {n} shards"
-    hs = h // n
-    assert hs >= 2 * radius or n == 1, (
-        f"shard height {hs} must be >= 2*radius={2 * radius}"
-    )
+    _check_shardable(h, n, radius)
     if n == 1:
         return apply_fn(x)
-    win = hs + 2 * radius
-
-    offsets = [min(max(i * hs - radius, 0), h - win) for i in range(n)]
-    windows = jnp.stack([x[:, o : o + win] for o in offsets])  # (n, B, win, W, C)
+    windows = build_windows(x, n, radius)  # (n, B, win, W, C)
     windows = jax.device_put(
         windows, NamedSharding(mesh, P(axis, None, None, None, None))
     )
     y = jax.vmap(apply_fn)(windows)  # (n, B, win*scale, W*scale, C')
-    parts = [
-        y[i, :, (i * hs - offsets[i]) * scale : (i * hs - offsets[i] + hs) * scale]
-        for i in range(n)
-    ]
-    return jnp.concatenate(parts, axis=1)
+    return crop_concat(y, h, n, radius, scale)

@@ -223,6 +223,21 @@ class TestFlowDownscale:
         # flows are approximate, not garbage
         assert float(np.mean(np.abs(o2 - o1))) < 0.05
 
+    def test_naive_multi_flow_downscale(self, tmp_path):
+        art = tmp_path / "block_index.txt"
+        art.write_text("[0, 1]:[[8, 8, 3], [8, 6, 5]]\n")
+        m1 = get_vsr_model("multi", scale=4, block_index_path=str(art))
+        m2 = get_vsr_model(
+            "multi", scale=4, block_index_path=str(art), flow_downscale=2
+        )
+        x = jnp.asarray(np.random.default_rng(4).random((1, 3, 12, 12, 3)), jnp.float32)
+        p1 = m1.init(jax.random.key(0), x)
+        o1 = np.asarray(m1.apply(p1, x))
+        o2 = np.asarray(m2.apply(p1, x))  # same params under d=2
+        assert o2.shape == o1.shape
+        assert np.isfinite(o2).all()
+        assert float(np.mean(np.abs(o2 - o1))) < 0.05
+
 
 class TestTemporalChunking:
     """parallel/temporal.py: bounded-memory long-clip inference."""
