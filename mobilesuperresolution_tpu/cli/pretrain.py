@@ -96,14 +96,19 @@ def main(argv=None):
         run_evaluation(params, state, model, eval_mods, logging, start_epoch)
         return
 
+    if params.model_type != "BASIC_MODEL":
+        # The reference's pretrain.py NAS path crashes too (model returns
+        # (sr, speed_accu) but the loop does criterion(sr, hr),
+        # pretrain.py:71-74); NAS training happens inside search.py phases.
+        raise ValueError(
+            "pretrain trains BASIC_MODEL only — use cli.search for the NAS "
+            "supernet and cli.retrain_searched for the searched net"
+        )
     if params.spatial_shards > 1:
         from mobilesuperresolution_tpu.parallel import make_spatial_sisr_step
         from mobilesuperresolution_tpu.parallel.halo import receptive_radius_wdsr
 
-        # worst-case per-block kernel: 3 for the fixed WDSR-B, 7 for the NAS
-        # supernet (kernel branches up to 7x7)
-        k = 7 if params.model_type == "NAS_MODEL" else 3
-        radius = receptive_radius_wdsr(params.num_blocks, block_kernel=k)
+        radius = receptive_radius_wdsr(params.num_blocks, block_kernel=3)
         step = make_spatial_sisr_step(state, mesh, radius=radius, scale=params.scale)
     else:
         step = make_sisr_step(state)

@@ -70,8 +70,17 @@ def get_vsr_model(
     (train_video_superresolution.py:243-253,
     test_video_superresolution.py:222-235).
 
-    flow_downscale: SpyNet input downscale for the 'basic'/'basic_origin'
-    recurrent models (1 = exact reference flows; see BasicVSRBase)."""
+    flow_downscale: SpyNet input downscale for the SpyNet-based models
+    ('basic', 'basic_origin', 'multi'; 1 = exact reference flows — see
+    BasicVSRBase). Rejected for model types that never run SpyNet at
+    inference ('single', 'basic_mv', 'multi_v1') rather than silently
+    ignored."""
+    if flow_downscale != 1 and model_type not in ("basic", "basic_origin", "multi"):
+        raise ValueError(
+            f"flow_downscale is only implemented for 'basic'/'basic_origin'/"
+            f"'multi', not {model_type!r} ('single' and 'basic_mv' run no "
+            "SpyNet at inference)"
+        )
     if model_type == "single":
         return SingleImageModel(
             scale=scale, channel=32, blocks=8, kernel=3, compute_dtype=compute_dtype

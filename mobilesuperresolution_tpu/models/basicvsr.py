@@ -29,7 +29,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mobilesuperresolution_tpu.models.spynet import SpyNet
+from mobilesuperresolution_tpu.models.spynet import (
+    SpyNet,
+    downscale_frames,
+    flow_downscale_hw,
+    upsample_flow,
+)
 from mobilesuperresolution_tpu.ops.layers import (
     PlainConv,
     SubpixelConvTranspose,
@@ -157,23 +162,14 @@ class BasicVSRBase(nn.Module):
         """x: (B, T, H, W, C) → (flows_forward, flows_backward), each
         (T-1, B, H, W, 2), both directions in one SpyNet batch."""
         b, t, h, w, c = x.shape
-        d = self.flow_downscale
-        fh, fw = (max(h // d, 1), max(w // d, 1)) if d > 1 else (h, w)
-        xf = x
-        if (fh, fw) != (h, w):
-            # resize the T frames once (not each of the 2(T-1) pair slots)
-            xf = resize_bilinear(
-                x.reshape(b * t, h, w, c), (fh, fw), align_corners=False
-            ).reshape(b, t, fh, fw, c)
+        fh, fw = flow_downscale_hw(h, w, self.flow_downscale)
+        # resize the T frames once (not each of the 2(T-1) pair slots)
+        xf = downscale_frames(x, fh, fw)
         x1 = xf[:, :-1].reshape(b * (t - 1), fh, fw, c)
         x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
         ref = jnp.concatenate([x1, x2], axis=0)
         supp = jnp.concatenate([x2, x1], axis=0)
-        flows = SpyNet(name="spynet")(ref, supp)
-        if (fh, fw) != (h, w):
-            flows = resize_bilinear(flows, (h, w), align_corners=False)
-            # channel 0 = dx (scales with width), 1 = dy (with height)
-            flows = flows * jnp.asarray([w / fw, h / fh], flows.dtype)
+        flows = upsample_flow(SpyNet(name="spynet")(ref, supp), h, w)
         fb = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
         ff = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
         # time-major for scan

@@ -22,7 +22,12 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from mobilesuperresolution_tpu.models.spynet import SpyNet
+from mobilesuperresolution_tpu.models.spynet import (
+    SpyNet,
+    downscale_frames,
+    flow_downscale_hw,
+    upsample_flow,
+)
 from mobilesuperresolution_tpu.nas.artifact import read_block_index
 from mobilesuperresolution_tpu.ops.layers import PlainConv, WNConv, depth_to_space
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
@@ -65,19 +70,11 @@ class NaiveMultiModel(nn.Module):
         ch = self.idx[0][0]
 
         # forward flows for all (t-1, t) pairs in one SpyNet batch
-        d = self.flow_downscale
-        fh, fw = (max(h // d, 1), max(w // d, 1)) if d > 1 else (h, w)
-        xf = x
-        if (fh, fw) != (h, w):
-            xf = resize_bilinear(
-                x.reshape(b * t, h, w, c), (fh, fw), align_corners=False
-            ).reshape(b, t, fh, fw, c)
+        fh, fw = flow_downscale_hw(h, w, self.flow_downscale)
+        xf = downscale_frames(x, fh, fw)
         x1 = xf[:, :-1].reshape(b * (t - 1), fh, fw, c)
         x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
-        ff = SpyNet(name="flownet")(x2, x1)
-        if (fh, fw) != (h, w):
-            ff = resize_bilinear(ff, (h, w), align_corners=False)
-            ff = ff * jnp.asarray([w / fw, h / fh], ff.dtype)
+        ff = upsample_flow(SpyNet(name="flownet")(x2, x1), h, w)
         ff = ff.reshape(b, t - 1, h, w, 2)
         # frame 0: zero flow (naive_multi_model_easy.py:125-128); explicit
         # shape so T=1 clips work

@@ -135,3 +135,30 @@ class SpyNet(nn.Module):
         flow = resize_bilinear(flow, (h, w), align_corners=False)
         scale = jnp.asarray([w / w32, h / h32], flow.dtype)
         return flow * scale
+
+
+def flow_downscale_hw(h, w, d):
+    """Flow-computation resolution for a 1/d SpyNet input downscale."""
+    return (max(h // d, 1), max(w // d, 1)) if d > 1 else (h, w)
+
+
+def downscale_frames(x, fh, fw):
+    """(B, T, H, W, C) clip resized per frame to (fh, fw) for flow input."""
+    b, t, h, w, c = x.shape
+    if (fh, fw) == (h, w):
+        return x
+    return resize_bilinear(
+        x.reshape(b * t, h, w, c), (fh, fw), align_corners=False
+    ).reshape(b, t, fh, fw, c)
+
+
+def upsample_flow(flow, h, w):
+    """(..., fh, fw, 2) flow → (..., h, w, 2) with values rescaled — channel
+    0 = dx scales with width, 1 = dy with height (the SpyNet convention,
+    ops/warp.py). Shared by every flow_downscale model so the subtle scale
+    vector lives in ONE place."""
+    fh, fw = flow.shape[-3], flow.shape[-2]
+    if (fh, fw) == (h, w):
+        return flow
+    flow = resize_bilinear(flow, (h, w), align_corners=False)
+    return flow * jnp.asarray([w / fw, h / fh], flow.dtype)

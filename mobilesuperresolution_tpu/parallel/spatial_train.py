@@ -22,10 +22,7 @@ PixelShuffle — all spatially local). Models with global spatial ops (e.g.
 SpyNet's resize-to-multiple-of-32) are not window-exact.
 """
 
-import functools
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mobilesuperresolution_tpu.parallel.halo import (
@@ -33,8 +30,7 @@ from mobilesuperresolution_tpu.parallel.halo import (
     build_windows,
     crop_concat,
 )
-from mobilesuperresolution_tpu.train.losses import l1_loss
-from mobilesuperresolution_tpu.train.steps import _guarded_update
+from mobilesuperresolution_tpu.train.steps import make_sisr_step
 
 
 def spatial_sharded_forward(apply_fn, x, n, radius, scale, mesh=None):
@@ -64,30 +60,7 @@ def make_spatial_sisr_step(state, mesh, radius, scale, spatial_shards=None):
     exactly."""
     n = spatial_shards if spatial_shards is not None else mesh.shape["spatial"]
 
-    @functools.partial(jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,))
-    def _step(state_tuple, batch, apply_fn, tx):
-        params, opt_state, step = state_tuple
-        lr_img, hr_img = batch
+    def forward(apply_closure, lr_img):
+        return spatial_sharded_forward(apply_closure, lr_img, n, radius, scale, mesh)
 
-        def loss_fn(p):
-            sr = spatial_sharded_forward(
-                lambda xx: apply_fn({"params": p}, xx), lr_img, n, radius, scale, mesh
-            )
-            return l1_loss(sr, hr_img)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params, opt_state, skipped = _guarded_update(params, opt_state, grads, loss, tx)
-        return (params, opt_state, step + 1), {
-            "loss": loss,
-            "l1": loss,
-            "skipped": skipped,
-        }
-
-    def step(state, batch):
-        tup, metrics = _step(
-            (state.params, state.opt_state, state.step), batch, state.apply_fn, state.tx
-        )
-        params, opt_state, s = tup
-        return state.replace(params=params, opt_state=opt_state, step=s), metrics
-
-    return step
+    return make_sisr_step(state, forward=forward)

@@ -47,6 +47,8 @@ def chunked_vsr_apply(apply_fn, lr, height, width, chunk, overlap=4, mesh=None):
     """
     if chunk <= 0:
         raise ValueError("chunk must be positive")
+    if overlap < 0:
+        raise ValueError("overlap must be >= 0")
     t = lr.shape[1]
     win = chunk + 2 * overlap
     if t <= win:

@@ -42,26 +42,31 @@ def _guarded_update(params, opt_state, grads, loss, tx):
     return params, opt_state, skipped
 
 
-@functools.partial(jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,))
-def _sisr_step(state_tuple, batch, apply_fn, tx):
-    params, opt_state, step = state_tuple
-    lr_img, hr_img = batch
-
-    def loss_fn(p):
-        sr = apply_fn({"params": p}, lr_img)
-        return l1_loss(sr, hr_img)
-
-    loss, grads = jax.value_and_grad(loss_fn)(params)
-    params, opt_state, skipped = _guarded_update(params, opt_state, grads, loss, tx)
-    return (params, opt_state, step + 1), {"loss": loss, "l1": loss, "skipped": skipped}
-
-
-def make_sisr_step(state):
+def make_sisr_step(state, forward=None):
     """Returns step(state, batch) -> (state, metrics) for BASIC_MODEL
-    pretraining (L1 loss, pretrain.py:61-82)."""
+    pretraining (L1 loss, pretrain.py:61-82).
+
+    forward: optional ``(apply_closure, lr_img) -> sr`` override of the plain
+    ``apply_closure(lr_img)`` forward, where ``apply_closure`` already binds
+    the current params — used by parallel/spatial_train.py to shard the
+    forward spatially without duplicating the step."""
+
+    @functools.partial(jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,))
+    def _step(state_tuple, batch, apply_fn, tx):
+        params, opt_state, step = state_tuple
+        lr_img, hr_img = batch
+
+        def loss_fn(p):
+            apply_closure = lambda xx: apply_fn({"params": p}, xx)
+            sr = apply_closure(lr_img) if forward is None else forward(apply_closure, lr_img)
+            return l1_loss(sr, hr_img)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state, skipped = _guarded_update(params, opt_state, grads, loss, tx)
+        return (params, opt_state, step + 1), {"loss": loss, "l1": loss, "skipped": skipped}
 
     def step(state, batch):
-        tup, metrics = _sisr_step(
+        tup, metrics = _step(
             (state.params, state.opt_state, state.step), batch, state.apply_fn, state.tx
         )
         params, opt_state, s = tup

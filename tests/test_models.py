@@ -223,6 +223,12 @@ class TestFlowDownscale:
         # flows are approximate, not garbage
         assert float(np.mean(np.abs(o2 - o1))) < 0.05
 
+    def test_rejected_for_models_without_spynet(self):
+        with pytest.raises(ValueError, match="flow_downscale"):
+            get_vsr_model("single", scale=2, flow_downscale=2)
+        with pytest.raises(ValueError, match="flow_downscale"):
+            get_vsr_model("basic_mv", scale=2, flow_downscale=2)
+
     def test_naive_multi_flow_downscale(self, tmp_path):
         art = tmp_path / "block_index.txt"
         art.write_text("[0, 1]:[[8, 8, 3], [8, 6, 5]]\n")
@@ -301,6 +307,15 @@ class TestTemporalChunking:
         np.testing.assert_allclose(
             np.asarray(sharded), np.asarray(serial), atol=1e-5
         )
+
+    def test_invalid_args_rejected(self):
+        from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+        x = jnp.zeros((1, 8, 8, 8, 3))
+        with pytest.raises(ValueError, match="chunk"):
+            chunked_vsr_apply(lambda a, oh, ow: a, x, 16, 16, chunk=0)
+        with pytest.raises(ValueError, match="overlap"):
+            chunked_vsr_apply(lambda a, oh, ow: a, x, 16, 16, chunk=2, overlap=-1)
 
     def test_whole_clip_passthrough(self):
         from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply

@@ -97,54 +97,57 @@ def test_pretrained_sr_quality():
     assert p_sr > p_bic, (p_sr, p_bic)
 
 
+def _torch_spynet(weights, ref, supp):
+    """Torch SpyNet forward written from the reference semantics
+    (spynet_arch.py:29-96); shared by the SpyNet and BasicVSR parity tests."""
+    import torch
+    import torch.nn.functional as F
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    refs = [(ref - mean) / std]
+    supps = [(supp - mean) / std]
+    for _ in range(5):
+        refs.insert(0, F.avg_pool2d(refs[0], 2, 2, count_include_pad=False))
+        supps.insert(0, F.avg_pool2d(supps[0], 2, 2, count_include_pad=False))
+    n = ref.shape[0]
+    flow = torch.zeros(n, 2, refs[0].shape[2] // 2, refs[0].shape[3] // 2)
+    for level in range(6):
+        up = (
+            F.interpolate(flow, scale_factor=2, mode="bilinear", align_corners=True)
+            * 2.0
+        )
+        if up.shape[2] != refs[level].shape[2]:
+            up = F.pad(up, [0, 0, 0, 1], mode="replicate")
+        if up.shape[3] != refs[level].shape[3]:
+            up = F.pad(up, [0, 1, 0, 0], mode="replicate")
+        h, w = supps[level].shape[2:]
+        gy, gx = torch.meshgrid(
+            torch.arange(h).float(), torch.arange(w).float(), indexing="ij"
+        )
+        v = torch.stack((gx, gy), 2).unsqueeze(0) + up.permute(0, 2, 3, 1)
+        vx = 2.0 * v[..., 0] / max(w - 1, 1) - 1.0
+        vy = 2.0 * v[..., 1] / max(h - 1, 1) - 1.0
+        warped = F.grid_sample(
+            supps[level],
+            torch.stack((vx, vy), 3),
+            mode="bilinear",
+            padding_mode="border",
+            align_corners=True,
+        )
+        x = torch.cat([refs[level], warped, up], 1)
+        for j in range(5):
+            x = F.conv2d(x, weights[level][j][0], weights[level][j][1], padding=3)
+            if j < 4:
+                x = F.relu(x)
+        flow = x + up
+    return flow
+
+
 class TestSpyNetParity:
     """Full-module SpyNet parity: our flax pyramid (incl. the s2d fast path
     and the replicate-pad odd-level handling) vs a torch forward written
     from the reference semantics (spynet_arch.py:29-96), random weights."""
-
-    def _torch_forward(self, weights, ref, supp):
-        import torch
-        import torch.nn.functional as F
-
-        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
-        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
-        refs = [(ref - mean) / std]
-        supps = [(supp - mean) / std]
-        for _ in range(5):
-            refs.insert(0, F.avg_pool2d(refs[0], 2, 2, count_include_pad=False))
-            supps.insert(0, F.avg_pool2d(supps[0], 2, 2, count_include_pad=False))
-        n = ref.shape[0]
-        flow = torch.zeros(n, 2, refs[0].shape[2] // 2, refs[0].shape[3] // 2)
-        for level in range(6):
-            up = (
-                F.interpolate(flow, scale_factor=2, mode="bilinear", align_corners=True)
-                * 2.0
-            )
-            if up.shape[2] != refs[level].shape[2]:
-                up = F.pad(up, [0, 0, 0, 1], mode="replicate")
-            if up.shape[3] != refs[level].shape[3]:
-                up = F.pad(up, [0, 1, 0, 0], mode="replicate")
-            h, w = supps[level].shape[2:]
-            gy, gx = torch.meshgrid(
-                torch.arange(h).float(), torch.arange(w).float(), indexing="ij"
-            )
-            v = torch.stack((gx, gy), 2).unsqueeze(0) + up.permute(0, 2, 3, 1)
-            vx = 2.0 * v[..., 0] / max(w - 1, 1) - 1.0
-            vy = 2.0 * v[..., 1] / max(h - 1, 1) - 1.0
-            warped = F.grid_sample(
-                supps[level],
-                torch.stack((vx, vy), 3),
-                mode="bilinear",
-                padding_mode="border",
-                align_corners=True,
-            )
-            x = torch.cat([refs[level], warped, up], 1)
-            for j in range(5):
-                x = F.conv2d(x, weights[level][j][0], weights[level][j][1], padding=3)
-                if j < 4:
-                    x = F.relu(x)
-            flow = x + up
-        return flow
 
     def test_random_weight_parity(self):
         import torch
@@ -174,7 +177,7 @@ class TestSpyNetParity:
             params[f"level_{level}"] = lp
 
         flow_torch = (
-            self._torch_forward(
+            _torch_spynet(
                 t_weights,
                 torch.from_numpy(ref.transpose(0, 3, 1, 2)),
                 torch.from_numpy(supp.transpose(0, 3, 1, 2)),
@@ -187,3 +190,140 @@ class TestSpyNetParity:
         )
         assert flow_ours.shape == flow_torch.shape == (2, 96, 64, 2)
         np.testing.assert_allclose(flow_ours, flow_torch, atol=2e-4, rtol=1e-3)
+
+
+class TestBasicVSROriginParity:
+    """Full-model parity of the faithful BasicVSR: our scan-merged,
+    direction-stacked flax implementation vs a torch forward written line-by-
+    line from the reference (models/basicvsr_arch_origin.py:10-96 — two
+    Python recurrences, mmedit-default flow_warp with zeros padding, double
+    PixelShuffle reconstruction), sharing one random weight set."""
+
+    def _torch_forward(self, P, x_clip, nf, nb, out_hw):
+        import torch
+        import torch.nn.functional as F
+
+        def conv(x, path, padding=1):
+            w = torch.from_numpy(np.asarray(P[path + "_kernel"]).transpose(3, 2, 0, 1))
+            b = torch.from_numpy(np.asarray(P[path + "_bias"]))
+            return F.conv2d(x, w, b, padding=padding)
+
+        def plain(x, name, padding=1):
+            w = torch.from_numpy(
+                np.asarray(P[f"{name}/Conv_0/kernel"]).transpose(3, 2, 0, 1)
+            )
+            b = torch.from_numpy(np.asarray(P[f"{name}/Conv_0/bias"]))
+            return F.conv2d(x, w, b, padding=padding)
+
+        def trunk(x, d):
+            pre = f"propagation/trunks/{d}"
+            y = F.leaky_relu(conv(x, f"{pre}_conv0"), 0.1)
+            for i in range(nb):
+                z = F.relu(conv(y, f"{pre}_block{i}_conv1"))
+                y = y + conv(z, f"{pre}_block{i}_conv2")
+            return y
+
+        def warp(feat, flow_nchw):
+            # mmedit flow_warp defaults: bilinear, zeros padding,
+            # align_corners=True (used at basicvsr_arch_origin.py:70,82)
+            n, _, h, w = feat.shape
+            gy, gx = torch.meshgrid(
+                torch.arange(h).float(), torch.arange(w).float(), indexing="ij"
+            )
+            v = torch.stack((gx, gy), 2).unsqueeze(0) + flow_nchw.permute(0, 2, 3, 1)
+            vx = 2.0 * v[..., 0] / max(w - 1, 1) - 1.0
+            vy = 2.0 * v[..., 1] / max(h - 1, 1) - 1.0
+            return F.grid_sample(
+                feat,
+                torch.stack((vx, vy), 3),
+                mode="bilinear",
+                padding_mode="zeros",
+                align_corners=True,
+            )
+
+        spy_w = []
+        for level in range(6):
+            lw = []
+            for j in range(5):
+                lw.append(
+                    (
+                        torch.from_numpy(
+                            np.asarray(
+                                P[f"spynet/level_{level}/conv{j}_kernel"]
+                            ).transpose(3, 2, 0, 1)
+                        ),
+                        torch.from_numpy(
+                            np.asarray(P[f"spynet/level_{level}/conv{j}_bias"])
+                        ),
+                    )
+                )
+            spy_w.append(lw)
+
+        b, n, c, h, w = x_clip.shape
+        x1 = x_clip[:, :-1].reshape(-1, c, h, w)
+        x2 = x_clip[:, 1:].reshape(-1, c, h, w)
+        flows_backward = _torch_spynet(spy_w, x1, x2).view(b, n - 1, 2, h, w)
+        flows_forward = _torch_spynet(spy_w, x2, x1).view(b, n - 1, 2, h, w)
+
+        out_l = []
+        feat_prop = x_clip.new_zeros(b, nf, h, w)
+        for i in range(n - 1, -1, -1):
+            x_i = x_clip[:, i]
+            if i < n - 1:
+                feat_prop = warp(feat_prop, flows_backward[:, i])
+            feat_prop = trunk(torch.cat([x_i, feat_prop], 1), "backward")
+            out_l.insert(0, feat_prop)
+
+        feat_prop = torch.zeros_like(feat_prop)
+        for i in range(n):
+            x_i = x_clip[:, i]
+            if i > 0:
+                feat_prop = warp(feat_prop, flows_forward[:, i - 1])
+            feat_prop = trunk(torch.cat([x_i, feat_prop], 1), "forward")
+
+            out = torch.cat([out_l[i], feat_prop], 1)
+            out = F.leaky_relu(plain(out, "fusion", padding=0), 0.1)
+            out = F.leaky_relu(F.pixel_shuffle(plain(out, "upconv1"), 2), 0.1)
+            out = F.leaky_relu(F.pixel_shuffle(plain(out, "upconv2"), 2), 0.1)
+            out = F.leaky_relu(plain(out, "conv_hr"), 0.1)
+            out = plain(out, "conv_last")
+            base = F.interpolate(
+                x_i, scale_factor=4, mode="bilinear", align_corners=False
+            )
+            out = out + base
+            out = F.interpolate(out, size=out_hw, mode="bilinear")
+            out_l[i] = out
+        return torch.stack(out_l, 1)
+
+    def test_random_weight_parity(self):
+        import torch
+
+        import flax.traverse_util as tu
+        import jax
+
+        from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
+
+        nf, nb, t, h, w = 8, 1, 3, 64, 64
+        m = BasicVSROrigin(num_feat=nf, num_block=nb, scale=4)
+        rng = np.random.default_rng(11)
+        x = rng.random((1, t, h, w, 3)).astype(np.float32)
+        variables = m.init(jax.random.key(0), jnp.asarray(x), 4 * h, 4 * w)
+        flat = {
+            "/".join(k): v for k, v in tu.flatten_dict(variables["params"]).items()
+        }
+
+        ours = np.asarray(m.apply(variables, jnp.asarray(x), 4 * h, 4 * w))
+        with torch.no_grad():
+            want = (
+                self._torch_forward(
+                    flat,
+                    torch.from_numpy(x.transpose(0, 1, 4, 2, 3)),
+                    nf,
+                    nb,
+                    (4 * h, 4 * w),
+                )
+                .numpy()
+                .transpose(0, 1, 3, 4, 2)
+            )
+        assert ours.shape == want.shape == (1, t, 4 * h, 4 * w, 3)
+        np.testing.assert_allclose(ours, want, atol=5e-4, rtol=1e-3)
