@@ -156,6 +156,26 @@ def main(argv=None):
     ckpt = CheckpointManager(params.job_dir)
     writer = MetricsWriter(params.job_dir)
 
+    # REAL resume across the three phases (the reference's search.py --resume
+    # is a no-op, SURVEY §5.3): params come from the per-epoch weights npz;
+    # epochs up to the checkpoint are skipped below while still advancing the
+    # SpeedScheduler so the annealing trajectory is identical; the optimizer
+    # state of the partially-completed phase is restored from the Orbax
+    # checkpoint (the opt-state structure only matches within a phase — each
+    # phase has its own trainable mask).
+    start_epoch = 0
+    if params.resume:
+        import os as _os
+
+        latest = ckpt.latest_epoch()
+        npz = _os.path.join(params.job_dir, "weights", "models.npz")
+        if latest and _os.path.exists(npz):
+            from mobilesuperresolution_tpu.train.checkpoint import load_params_npz
+
+            base_params = load_params_npz(npz, base_params)
+            start_epoch = latest
+            logging.info(f"resuming search from epoch {latest}")
+
     epoch = 0
     for phase in PHASES:
         n_epochs = phase_epochs(params, phase)
@@ -181,6 +201,10 @@ def main(argv=None):
             tx=tx,
             apply_fn=model.apply,
         )
+        if epoch < start_epoch < epoch + n_epochs:
+            # resuming mid-phase: the saved opt state was built with this
+            # phase's trainable mask, so the structures match
+            state, _ = ckpt.restore(state)
         step = make_search_step(
             state, speed_loss, params.weight_sr_l1, params.weight_speed, speed_table
         )
@@ -192,6 +216,8 @@ def main(argv=None):
                     speed_target_current = scheduler.step()
                 else:
                     speed_target_current = params.speed_target
+                if epoch <= start_epoch:
+                    continue  # already trained before the resume point
                 logging.info(f"speed target: {speed_target_current:.2f} ms")
                 meter = AverageMeter()
                 t0 = time.time()

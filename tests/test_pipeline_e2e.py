@@ -115,6 +115,42 @@ def test_export_tflite_quantized_roundtrip(search_job, tmp_path):
     assert interp.get_tensor(out["index"]).shape == (1, 32, 32, 3)
 
 
+def test_search_resume(tmp_path):
+    """REAL search resume (the reference's --resume is a no-op): a second run
+    with --resume and an extended width phase skips the completed epochs,
+    restores mid-phase optimizer state, and trains only the new epoch."""
+    job = tmp_path / "search_resume"
+    common = [
+        "--job_dir", str(job),
+        "--dataset", "synthetic_isr",
+        "--eval_datasets",
+        "--num_blocks", "2",
+        "--num_residual_units", "8",
+        "--scale", "2",
+        "--width_search",
+        "--speed_target", "5",
+        "--epochs", "0",
+        "--kernel_epochs", "0",
+        "--train_batch_size", "8",
+        "--lr_patch_size", "16",
+        "--num_patches", "2",
+        "--log_steps", "1",
+    ]
+    search_cli.main(["--width_epochs", "2", *common])
+    lines_before = (job / "block_index.txt").read_text().strip().count("\n") + 1
+
+    search_cli.main(["--width_epochs", "3", "--resume", *common])
+    log = (job / "result.log").read_text()
+    assert "resuming search from epoch 2" in log
+    resumed_part = log.split("resuming search from epoch 2")[1]
+    # only the NEW epoch trains after the resume point
+    assert "[width e3" in resumed_part
+    assert "[width e1" not in resumed_part
+    assert "[width e2" not in resumed_part
+    lines_after = (job / "block_index.txt").read_text().strip().count("\n") + 1
+    assert lines_after > lines_before
+
+
 def test_train_vsr_then_eval_cli(tmp_path):
     """train_vsr a few steps on the synthetic VSR dataset, then run the
     eval-only test_vsr CLI against the saved weights (reference flow:
