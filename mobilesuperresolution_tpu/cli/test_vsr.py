@@ -47,7 +47,30 @@ def main(argv=None):
         extra_args=(ps * params.scale, ps * params.scale),
     )
     if params.eval_model:
-        state = state.replace(params=load_params_npz(params.eval_model, state.params))
+        if params.eval_model.endswith((".pt", ".pth")):
+            # reference/mmedit-format torch checkpoint (loaded via the
+            # ['params'] key like test_video_superresolution.py:249)
+            import torch
+
+            from mobilesuperresolution_tpu.train.torch_convert import (
+                convert_basicvsr_origin_state_dict,
+            )
+
+            if params.model_type != "basic_origin":
+                raise ValueError(
+                    "torch checkpoint conversion is implemented for "
+                    "basic_origin (the reference's only runnable recurrent "
+                    "variant); export npz weights for other types"
+                )
+            sd = torch.load(params.eval_model, map_location="cpu")
+            if "params" in sd and not any(k.startswith("spynet") for k in sd):
+                sd = sd["params"]
+            converted, _ = convert_basicvsr_origin_state_dict(sd)
+            state = state.replace(params=converted)
+        else:
+            state = state.replace(
+                params=load_params_npz(params.eval_model, state.params)
+            )
 
     eval_mods = eval_modules(params)
     run_vsr_evaluation(params, state, model, eval_mods, logging, epoch=0)

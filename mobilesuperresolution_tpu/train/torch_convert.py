@@ -65,3 +65,69 @@ def load_reference_wdsr(path):
     params, num_blocks = convert_wdsr_basic_state_dict(sd)
     units = sd["head.weight_v"].shape[0]
     return params, num_blocks, int(units)
+
+
+def _k(w):
+    """OIHW torch conv weight → HWIO flax kernel."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def convert_spynet_state_dict(sd, prefix="spynet."):
+    """Reference SpyNet names (spynet_arch.py:10-27:
+    ``<prefix>basic_module.<level>.basic_module.<2j>.{weight,bias}``, level 0
+    = coarsest — the same ordering as our ``level_<i>``) → params for
+    ``models.spynet.SpyNet``."""
+    out = {}
+    level = 0
+    while f"{prefix}basic_module.{level}.basic_module.0.weight" in sd:
+        lp = {}
+        for j in range(5):
+            lp[f"conv{j}_kernel"] = _k(sd[f"{prefix}basic_module.{level}.basic_module.{2 * j}.weight"])
+            lp[f"conv{j}_bias"] = np.asarray(
+                sd[f"{prefix}basic_module.{level}.basic_module.{2 * j}.bias"]
+            )
+        out[f"level_{level}"] = lp
+        level += 1
+    return out
+
+
+def convert_basicvsr_origin_state_dict(state_dict):
+    """Reference BasicVSR_origin state dict (basicvsr_arch_origin.py:19-40;
+    also the mmedit-format checkpoints loaded via the ['params'] key at
+    test_video_superresolution.py:249) → flax params for
+    ``models.basicvsr.BasicVSROrigin``. Returns (params, num_block).
+
+    Mapping: spynet.* → spynet/level_i/convj; {backward,forward}_trunk.main.0
+    → propagation/trunks/<dir>_conv0 and .main.2.<i>.conv{1,2} →
+    <dir>_block<i>_conv{1,2} (our scan-merged dual trunk stores both
+    directions' kernels side by side); fusion/upconv1/upconv2/conv_hr/
+    conv_last → the same-named PlainConv modules."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {"spynet": convert_spynet_state_dict(sd)}
+
+    trunks = {}
+    num_block = 0
+    for d in ("backward", "forward"):
+        trunks[f"{d}_conv0_kernel"] = _k(sd[f"{d}_trunk.main.0.weight"])
+        trunks[f"{d}_conv0_bias"] = np.asarray(sd[f"{d}_trunk.main.0.bias"])
+        i = 0
+        while f"{d}_trunk.main.2.{i}.conv1.weight" in sd:
+            for c in ("conv1", "conv2"):
+                trunks[f"{d}_block{i}_{c}_kernel"] = _k(
+                    sd[f"{d}_trunk.main.2.{i}.{c}.weight"]
+                )
+                trunks[f"{d}_block{i}_{c}_bias"] = np.asarray(
+                    sd[f"{d}_trunk.main.2.{i}.{c}.bias"]
+                )
+            i += 1
+        num_block = i
+    params["propagation"] = {"trunks": trunks}
+
+    for name in ("fusion", "upconv1", "upconv2", "conv_hr", "conv_last"):
+        params[name] = {
+            "Conv_0": {
+                "kernel": _k(sd[f"{name}.weight"]),
+                "bias": np.asarray(sd[f"{name}.bias"]),
+            }
+        }
+    return params, num_block

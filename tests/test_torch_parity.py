@@ -327,3 +327,91 @@ class TestBasicVSROriginParity:
             )
         assert ours.shape == want.shape == (1, t, 4 * h, 4 * w, 3)
         np.testing.assert_allclose(ours, want, atol=5e-4, rtol=1e-3)
+
+
+def test_converted_basicvsr_origin_checkpoint():
+    """Checkpoint migration: a reference BasicVSR_origin state dict converted
+    by train/torch_convert.convert_basicvsr_origin_state_dict must reproduce
+    the output of the REFERENCE module itself (imported from
+    /root/reference with an mmedit flow_warp shim), randomized weights."""
+    import sys
+    import types
+
+    import torch
+    import torch.nn.functional as F
+
+    import jax
+
+    from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
+    from mobilesuperresolution_tpu.train.torch_convert import (
+        convert_basicvsr_origin_state_dict,
+    )
+
+    def mmedit_flow_warp(feat, flow_hwc, interp_mode="bilinear", padding_mode="zeros"):
+        n, _, h, w = feat.shape
+        gy, gx = torch.meshgrid(
+            torch.arange(h).float(), torch.arange(w).float(), indexing="ij"
+        )
+        v = torch.stack((gx, gy), 2).unsqueeze(0) + flow_hwc
+        vx = 2.0 * v[..., 0] / max(w - 1, 1) - 1.0
+        vy = 2.0 * v[..., 1] / max(h - 1, 1) - 1.0
+        return F.grid_sample(
+            feat,
+            torch.stack((vx, vy), 3),
+            mode=interp_mode,
+            padding_mode=padding_mode,
+            align_corners=True,
+        )
+
+    if not os.path.isdir("/root/reference/models"):
+        pytest.skip("reference source not available")
+    shim = types.ModuleType("mmedit.models.common")
+    shim.flow_warp = mmedit_flow_warp
+    shim.PixelShufflePack = object
+    mm = types.ModuleType("mmedit")
+    mm_models = types.ModuleType("mmedit.models")
+    mm.models = mm_models
+    mm_models.common = shim
+    saved = {k: sys.modules.get(k) for k in ("mmedit", "mmedit.models", "mmedit.models.common")}
+    sys.modules.update(
+        {"mmedit": mm, "mmedit.models": mm_models, "mmedit.models.common": shim}
+    )
+    sys.path.insert(0, "/root/reference")
+    try:
+        from models.basicvsr_arch_origin import BasicVSR_origin
+    finally:
+        sys.path.remove("/root/reference")
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    nf, nb, t, h, w = 8, 1, 3, 64, 64
+    torch.manual_seed(3)
+    ref_model = BasicVSR_origin(num_feat=nf, num_block=nb)
+    with torch.no_grad():
+        for p in ref_model.parameters():
+            p.normal_(0, 0.05)
+    sd = ref_model.state_dict()
+
+    rng = np.random.default_rng(5)
+    x = rng.random((1, t, h, w, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            ref_model(torch.from_numpy(x.transpose(0, 1, 4, 2, 3)), 4 * h, 4 * w)
+            .numpy()
+            .transpose(0, 1, 3, 4, 2)
+        )
+
+    params, got_nb = convert_basicvsr_origin_state_dict(sd)
+    assert got_nb == nb
+    m = BasicVSROrigin(num_feat=nf, num_block=nb, scale=4)
+    # converted tree must drop into the model's expected structure
+    template = m.init(jax.random.key(0), jnp.asarray(x), 4 * h, 4 * w)["params"]
+    assert jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.shape, template)
+    ) == jax.tree_util.tree_structure(jax.tree_util.tree_map(np.shape, params))
+    ours = np.asarray(m.apply({"params": params}, jnp.asarray(x), 4 * h, 4 * w))
+    assert ours.shape == want.shape
+    np.testing.assert_allclose(ours, want, atol=5e-4, rtol=1e-3)
