@@ -52,7 +52,8 @@ def add_vsr_args(parser):
     parser.add_argument("--model_path", type=str, default=None,
                         help="block_index.txt for the 'multi' model.")
     parser.add_argument("--spynet_weights", type=str, default=None,
-                        help="Pretrained SpyNet params .npz (optional).")
+                        help="Pretrained SpyNet params: .npz, or an "
+                        "mmedit/reference .pth checkpoint (converted).")
     parser.add_argument("--chunk_frames", type=int, default=0,
                         help="Evaluate long clips in temporal windows of this "
                         "many output frames (bounded memory; 0 = whole clip).")
@@ -155,11 +156,26 @@ def main(argv=None):
         model, jax.random.key(params.seed), sample, tx, extra_args=out_hw
     )
     if params.spynet_weights:
-        spy = load_params_npz(
-            params.spynet_weights,
-            state.params.get("spynet", state.params.get("flownet")),
-        )
         key = "spynet" if "spynet" in state.params else "flownet"
+        if params.spynet_weights.endswith((".pt", ".pth")):
+            # mmedit/reference pretrained SpyNet checkpoint (loaded via the
+            # ['params'] key, spynet_arch.py:40)
+            import torch
+
+            from mobilesuperresolution_tpu.train.torch_convert import (
+                convert_spynet_state_dict,
+            )
+
+            sd = torch.load(params.spynet_weights, map_location="cpu")
+            if "params" in sd:
+                sd = sd["params"]
+            prefix = "spynet." if any(k.startswith("spynet.") for k in sd) else ""
+            spy = convert_spynet_state_dict(sd, prefix=prefix)
+        else:
+            spy = load_params_npz(
+                params.spynet_weights,
+                state.params.get("spynet", state.params.get("flownet")),
+            )
         new_params = dict(state.params)
         new_params[key] = spy
         state = state.replace(params=new_params)

@@ -415,3 +415,39 @@ def test_converted_basicvsr_origin_checkpoint():
     ours = np.asarray(m.apply({"params": params}, jnp.asarray(x), 4 * h, 4 * w))
     assert ours.shape == want.shape
     np.testing.assert_allclose(ours, want, atol=5e-4, rtol=1e-3)
+
+
+def test_convert_standalone_spynet_state_dict():
+    """Standalone mmedit SpyNet checkpoints have no 'spynet.' prefix
+    (spynet_arch.py:40 loads ['params'] directly) — the converter handles
+    both prefixes and the result drops into our SpyNet module."""
+    import jax
+
+    from mobilesuperresolution_tpu.models.spynet import _SPYNET_CHANNELS, SpyNet
+    from mobilesuperresolution_tpu.train.torch_convert import (
+        convert_spynet_state_dict,
+    )
+
+    rng = np.random.default_rng(9)
+    sd = {}
+    for level in range(6):
+        for j, (cin, cout) in enumerate(_SPYNET_CHANNELS):
+            sd[f"basic_module.{level}.basic_module.{2 * j}.weight"] = (
+                rng.standard_normal((cout, cin, 7, 7)).astype(np.float32) * 0.05
+            )
+            sd[f"basic_module.{level}.basic_module.{2 * j}.bias"] = (
+                rng.standard_normal((cout,)).astype(np.float32) * 0.05
+            )
+    params = convert_spynet_state_dict(sd, prefix="")
+    ref = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    supp = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    flow = SpyNet().apply({"params": params}, ref, supp)
+    assert flow.shape == (1, 64, 64, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+    # prefixed form converts identically
+    sd_p = {f"spynet.{k}": v for k, v in sd.items()}
+    params_p = convert_spynet_state_dict(sd_p, prefix="spynet.")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_p)
+    ):
+        np.testing.assert_array_equal(a, b)
