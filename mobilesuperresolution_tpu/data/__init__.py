@@ -25,13 +25,6 @@ _DATASET_MODULES = {
     "synthetic_vsr": "mobilesuperresolution_tpu.data.synthetic_module",
 }
 
-_EVAL_SET_DIRS = {
-    "set5": "Set5",
-    "set14": "Set14",
-    "bsds100": "BSDS100",
-    "urban100": "Urban100",
-}
-
 
 def update_argparser(parser):
     """Base flags shared by every dataset (reference datasets/__init__.py)."""

@@ -14,15 +14,23 @@ import numpy as np
 
 def renumber_frames(directory, ext=".png", width=4, dry_run=False):
     """Rename files in sorted order to 0000.png, 0001.png, ... Returns the
-    mapping applied."""
+    mapping applied.
+
+    Two-phase (via unique temp names) so a rename target colliding with a
+    not-yet-renamed source file can never clobber it — e.g. ['!.png',
+    '0000.png'] would otherwise overwrite the real 0000.png in pass one."""
     files = sorted(f for f in os.listdir(directory) if f.endswith(ext))
-    mapping = []
-    for i, f in enumerate(files):
-        target = f"{i:0{width}d}{ext}"
-        if f != target:
-            mapping.append((f, target))
-            if not dry_run:
-                os.rename(os.path.join(directory, f), os.path.join(directory, target))
+    mapping = [
+        (f, f"{i:0{width}d}{ext}") for i, f in enumerate(files)
+        if f != f"{i:0{width}d}{ext}"
+    ]
+    if dry_run or not mapping:
+        return mapping
+    tmp = [f"__renum_{os.getpid()}_{i}{ext}.tmp" for i in range(len(mapping))]
+    for (src, _), t in zip(mapping, tmp):
+        os.rename(os.path.join(directory, src), os.path.join(directory, t))
+    for (_, dst), t in zip(mapping, tmp):
+        os.rename(os.path.join(directory, t), os.path.join(directory, dst))
     return mapping
 
 

@@ -27,7 +27,9 @@ class ArrayCache:
         path = self._path(key)
         if os.path.exists(path):
             return
-        tmp = path + ".tmp"
+        # per-process-unique temp name: two concurrent writers must never
+        # interleave into one temp file and publish a torn .npy
+        tmp = f"{path}.tmp.{os.getpid()}"
         np.save(tmp, np.ascontiguousarray(array))
         os.replace(tmp + ".npy" if os.path.exists(tmp + ".npy") else tmp, path)
 
@@ -36,8 +38,10 @@ class ArrayCache:
 
 
 def load_image(path):
-    """Decode an image file → uint8 HWC numpy array (PIL, gated)."""
+    """Decode an image file → uint8 HWC numpy array (PIL, gated). Grayscale
+    ('L') images are expanded to RGB so every dataset item is (H, W, 3) —
+    BSDS100/Urban100 contain grayscale members."""
     from PIL import Image
 
     with Image.open(path) as im:
-        return np.asarray(im.convert("RGB") if im.mode not in ("RGB", "L") else im)
+        return np.asarray(im if im.mode == "RGB" else im.convert("RGB"))

@@ -190,11 +190,14 @@ def batch_iterator(
     _END = object()
 
     def worker():
+        # dataset errors re-raise in the consumer — a silently swallowed
+        # exception here would look like a clean (truncated) end-of-epoch
         try:
             for item in gen:
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — transported, not handled
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -202,4 +205,6 @@ def batch_iterator(
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -49,6 +49,16 @@ def get_dataset(mode, params):
     )
     lr_windows = list_clip_windows(lr_dir, batch)
     hr_windows = list_clip_windows(hr_dir, batch)
+    # REDS LR/HR trees use identical clip/frame names — require exact key
+    # alignment so a partially-downloaded clip cannot shift the pairing
+    lr_keys = [k for w in lr_windows for k, _ in w]
+    hr_keys = [k for w in hr_windows for k, _ in w]
+    if lr_keys != hr_keys:
+        diff = set(lr_keys) ^ set(hr_keys)
+        raise ValueError(
+            f"REDS LR/HR trees disagree ({lr_dir} vs {hr_dir}): "
+            f"{sorted(diff)[:5]}{'...' if len(diff) > 5 else ''}"
+        )
     cache = (
         os.path.join(params.cache_dir, f"reds_{mode}")
         if getattr(params, "cache_dir", None)

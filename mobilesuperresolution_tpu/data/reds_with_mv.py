@@ -26,53 +26,39 @@ def update_argparser(parser):
 
 
 class RedsWithMVDataset(_vsr.VideoSRDataset):
-    def _mv_for(self, key, path):
-        clip_dir, frame_name = os.path.split(path)
-        frame = int(frame_name.split(".")[0])
-        mv_npy = np.load(
-            os.path.join(clip_dir, "hex-me16-ref1", "motion.npy"), mmap_mode="r"
-        )
-        return np.asarray(mv_npy[frame], dtype=np.float32)  # (H, W, 2)
+    """Base crop/flip pipeline via the _extra_frames/_flip_extra hooks; this
+    class only supplies the motion-vector channels and their flip negation."""
 
-    def __getitem__(self, index):
-        p = self.params
-        if self.mode == modes.TRAIN:
-            index = index // p.num_patches
-        lr_list, hr_list = self._load_item(index)
-        mv_list = [self._mv_for(k, path) for k, path in self.lr_windows[index]]
+    short_frame_guard = False  # reference MV variant crops unguarded (_vsr.py:334)
 
-        if self.mode == modes.TRAIN:
-            p1, p2 = self.rng.random(), self.rng.random()
-            b = p.ignored_boundary_size
-            h0, w0 = lr_list[0].shape[:2]
-            x = int(self.rng.integers(b, h0 - p.lr_patch_size + 1 - b))
-            y = int(self.rng.integers(b, w0 - p.lr_patch_size + 1 - b))
-            s, ps = p.scale, p.lr_patch_size
-            lr_list = [f[x : x + ps, y : y + ps] for f in lr_list]
-            mv_list = [m[x : x + ps, y : y + ps] for m in mv_list]
-            hr_list = [f[x * s : (x + ps) * s, y * s : (y + ps) * s] for f in hr_list]
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._motion_cache = {}
 
-        lr = np.stack(lr_list).astype(np.float32) / 255.0
-        hr = np.stack(hr_list).astype(np.float32) / 255.0
-        mv = np.stack(mv_list).astype(np.float32)
-        lr = np.concatenate([lr, mv], axis=-1)  # (T, h, w, 5)
+    def _motion(self, clip_dir):
+        """Per-clip motion.npy mmap, opened once (not per frame per item)."""
+        if clip_dir not in self._motion_cache:
+            self._motion_cache[clip_dir] = np.load(
+                os.path.join(clip_dir, "hex-me16-ref1", "motion.npy"),
+                mmap_mode="r",
+            )
+        return self._motion_cache[clip_dir]
 
-        if self.mode == modes.TRAIN:
-            # flips must also NEGATE the motion-vector displacement component
-            # along the flipped axis (channels 3=dx, 4=dy): a mirrored pixel
-            # that moved +dx now moves -dx in the mirrored clip.
-            if p1 < 0.5:  # horizontal (width) flip
-                lr, hr = lr[:, :, ::-1].copy(), hr[:, :, ::-1]
-                lr[..., 3] = -lr[..., 3]
-            if p2 < 0.5:  # vertical (height) flip
-                lr, hr = lr[:, ::-1].copy(), hr[:, ::-1]
-                lr[..., 4] = -lr[..., 4]
-            return np.ascontiguousarray(lr), np.ascontiguousarray(hr)
+    def _extra_frames(self, index):
+        out = []
+        for _, path in self.lr_windows[index]:
+            clip_dir, frame_name = os.path.split(path)
+            frame = int(frame_name.split(".")[0])
+            out.append(np.asarray(self._motion(clip_dir)[frame], dtype=np.float32))
+        return out  # T x (H, W, 2)
 
-        key0 = self.lr_windows[index][0][0]
-        parts = os.path.splitext(key0)[0].split("/")
-        save_path = (parts[-2] + parts[-1]) if len(parts) >= 2 else parts[-1]
-        return save_path, lr, hr
+    def _flip_extra(self, lr, axis):
+        # flips must NEGATE the motion-vector displacement component along
+        # the flipped axis (channels 3=dx, 4=dy): a mirrored pixel that
+        # moved +dx now moves -dx in the mirrored clip.
+        ch = 3 if axis == "width" else 4
+        lr[..., ch] = -lr[..., ch]
+        return lr
 
 
 def get_dataset(mode, params):

@@ -35,9 +35,28 @@ def update_argparser(parser):
 
 class VideoSRDataset:
     """lr_windows / hr_windows: list of windows; each window is a list of
-    (key, path-or-None) frame entries. Subclasses override ``_load_frame``."""
+    (key, path-or-None) frame entries. Subclasses override ``_load_frame``.
+
+    short_frame_guard: pin the vertical crop to 0 for frames <= 68 px tall
+    (the reference base's Vimeo-LR special case, _vsr.py:77-82; its MV
+    variant omits it, _vsr.py:334-338 — RedsWithMVDataset sets False)."""
+
+    short_frame_guard = True
 
     def __init__(self, mode, params, lr_windows, hr_windows, cache_dir=None):
+        # LR/HR windows are paired by index: a missing/extra file in either
+        # tree would silently shift every later pair, so fail loudly instead
+        if len(lr_windows) != len(hr_windows):
+            raise ValueError(
+                f"LR/HR window count mismatch: {len(lr_windows)} vs "
+                f"{len(hr_windows)} — the two directory trees are out of sync"
+            )
+        for lw, hw in zip(lr_windows, hr_windows):
+            if len(lw) != len(hw):
+                raise ValueError(
+                    f"LR/HR frame count mismatch within a window: "
+                    f"{[k for k, _ in lw]} vs {[k for k, _ in hw]}"
+                )
         self.mode = mode
         self.params = params
         self.lr_windows = lr_windows
@@ -68,41 +87,56 @@ class VideoSRDataset:
             return len(self.lr_windows) * self.params.num_patches
         return len(self.lr_windows)
 
+    def _extra_frames(self, index):
+        """Optional per-LR-frame extra channels: None, or a list (len T) of
+        (H, W, Ce) float32 arrays concatenated onto the normalized LR (NOT
+        /255-scaled — e.g. codec motion vectors are pixel displacements).
+        They receive the same patch crop and flips as the LR frames."""
+        return None
+
+    def _flip_extra(self, lr, axis):
+        """Adjust extra channels after a flip along ``axis`` ('width' or
+        'height') — e.g. negate the flipped displacement component."""
+        return lr
+
     def __getitem__(self, index):
         if self.mode == modes.TRAIN:
             index = index // self.params.num_patches
         lr_list, hr_list = self._load_item(index)
+        extra_list = self._extra_frames(index)
         p = self.params
         p1, p2 = self.rng.random(), self.rng.random()
-        if self.mode == modes.TRAIN and getattr(p, "train_sample_patch", True):
+        sample = self.mode == modes.TRAIN and getattr(p, "train_sample_patch", True)
+        if sample:
             # patch coordinates are only meaningful (and only valid —
             # eval frames may be smaller than the patch) in TRAIN mode
             b = p.ignored_boundary_size
             h0, w0 = lr_list[0].shape[:2]
-            if h0 <= 68:
+            if self.short_frame_guard and h0 <= 68:
                 x = 0
             else:
                 x = int(self.rng.integers(b, h0 - p.lr_patch_size + 1 - b))
             y = int(self.rng.integers(b, w0 - p.lr_patch_size + 1 - b))
+            ps, s = p.lr_patch_size, p.scale
+            lr_list = [f[x : x + ps, y : y + ps] for f in lr_list]
+            hr_list = [f[x * s : (x + ps) * s, y * s : (y + ps) * s] for f in hr_list]
+            if extra_list is not None:
+                extra_list = [m[x : x + ps, y : y + ps] for m in extra_list]
 
-        lrs, hrs = [], []
-        for lr, hr in zip(lr_list, hr_list):
-            if self.mode == modes.TRAIN and getattr(p, "train_sample_patch", True):
-                lr = lr[x : x + p.lr_patch_size, y : y + p.lr_patch_size]
-                hr = hr[
-                    x * p.scale : (x + p.lr_patch_size) * p.scale,
-                    y * p.scale : (y + p.lr_patch_size) * p.scale,
-                ]
-            lrs.append(np.ascontiguousarray(lr))
-            hrs.append(np.ascontiguousarray(hr))
-        lr = np.stack(lrs).astype(np.float32) / 255.0
-        hr = np.stack(hrs).astype(np.float32) / 255.0
+        lr = np.stack([np.ascontiguousarray(f) for f in lr_list]).astype(np.float32) / 255.0
+        hr = np.stack([np.ascontiguousarray(f) for f in hr_list]).astype(np.float32) / 255.0
+        if extra_list is not None:
+            lr = np.concatenate(
+                [lr, np.stack(extra_list).astype(np.float32)], axis=-1
+            )
 
         if self.mode == modes.TRAIN:
             if p1 < 0.5:  # horizontal flip (width axis)
-                lr, hr = lr[:, :, ::-1], hr[:, :, ::-1]
+                lr, hr = lr[:, :, ::-1].copy(), hr[:, :, ::-1]
+                lr = self._flip_extra(lr, "width")
             if p2 < 0.5:  # vertical flip (height axis)
-                lr, hr = lr[:, ::-1], hr[:, ::-1]
+                lr, hr = lr[:, ::-1].copy(), hr[:, ::-1]
+                lr = self._flip_extra(lr, "height")
             return np.ascontiguousarray(lr), np.ascontiguousarray(hr)
 
         key0 = self.lr_windows[index][0][0]

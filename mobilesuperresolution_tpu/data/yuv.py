@@ -1,10 +1,15 @@
 """YUV420 planar → RGB conversion for the NEMO raw-frame pipeline.
 
-Reference: datasets/yuv420_to_bgr.py:5-39 (cv2 upsample + merge + cvtColor →
-interleaved BGR .raw files). Implemented here in pure numpy (BT.601 full-range,
-matching cv2.COLOR_YUV2BGR) with an optional cv2 fast path; we store RGB order
-since the TPU pipeline is RGB end-to-end (the reference's BGR rawfiles are
-flipped on read in data/nemo.py).
+Reference recipe (datasets/yuv420_to_bgr.py:5-24): cv2.resize the chroma
+planes 2x (INTER_LINEAR), merge (y, v, u) as YCrCb, cv2.COLOR_YCrCb2BGR →
+interleaved .raw files. Reproduced here BIT-EXACTLY in integer numpy:
+- chroma upsample replicates cv2's fixed-point bilinear (coef scale 2048,
+  SIMD rounding path: per-term (b·(S>>4))>>16, then (+2)>>2),
+- color conversion replicates cvtColor's 14-bit fixed point
+  (Cr·22987, Cr·-11698 + Cb·-5636, Cb·29049, round (x+2^13)>>14).
+Both verified bit-identical to cv2 (tests/test_native.py). We store RGB
+order since the TPU pipeline is RGB end-to-end (the reference's BGR
+rawfiles are flipped on read in data/nemo.py).
 """
 
 import os
@@ -12,16 +17,42 @@ import os
 import numpy as np
 
 
+def _up2_cv2_linear(src, out_h, out_w):
+    """cv2.resize(src, (out_w, out_h), INTER_LINEAR) for the exact-2x uint8
+    case, in cv2's own fixed-point arithmetic (bit-identical)."""
+    s = src.astype(np.int64)
+    sh, sw = src.shape
+    kidx = np.arange(out_w)
+    k = kidx // 2
+    left = np.where(kidx % 2 == 0, np.clip(k - 1, 0, sw - 1), k)
+    right = np.where(kidx % 2 == 0, k, np.clip(k + 1, 0, sw - 1))
+    wl = np.where(kidx % 2 == 0, 512, 1536)
+    rowpass = s[:, left] * wl + s[:, right] * (2048 - wl)  # scale 2048
+    ridx = np.arange(out_h)
+    r = ridx // 2
+    top = np.where(ridx % 2 == 0, np.clip(r - 1, 0, sh - 1), r)
+    bot = np.where(ridx % 2 == 0, r, np.clip(r + 1, 0, sh - 1))
+    wt = np.where(ridx % 2 == 0, 512, 1536)[:, None]
+    t = ((wt * (rowpass[top, :] >> 4)) >> 16) + (
+        ((2048 - wt) * (rowpass[bot, :] >> 4)) >> 16
+    )
+    return np.clip((t + 2) >> 2, 0, 255)
+
+
 def yuv420_to_rgb(y, u, v):
-    """y: (H, W) uint8; u, v: (H/2, W/2) uint8 → (H, W, 3) uint8 RGB."""
+    """y: (H, W) uint8; u, v: (H/2, W/2) uint8 → (H, W, 3) uint8 RGB,
+    bit-identical to the reference's cv2 pipeline (u = Cb, v = Cr)."""
     h, w = y.shape
-    u = u.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.float64) - 128.0
-    v = v.repeat(2, 0).repeat(2, 1)[:h, :w].astype(np.float64) - 128.0
-    yf = y.astype(np.float64)
-    # BT.601 full-range (cv2 YUV2RGB coefficients)
-    r = yf + 1.403 * v
-    g = yf - 0.344 * u - 0.714 * v
-    b = yf + 1.773 * u
+    cb = _up2_cv2_linear(u, h, w) - 128
+    cr = _up2_cv2_linear(v, h, w) - 128
+    yf = y.astype(np.int64)
+
+    def _fx(x):
+        return (x + (1 << 13)) >> 14
+
+    r = yf + _fx(22987 * cr)
+    g = yf + _fx(-11698 * cr - 5636 * cb)
+    b = yf + _fx(29049 * cb)
     return np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
 
 

@@ -24,6 +24,8 @@ Reference role: these are the convolutions of the SpyNet pyramid modules
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -63,7 +65,7 @@ def _kernel(
 def conv5x5_same(x, w, b, relu=False, tile_h=None, interpret=False):
     """x: (N, H, W, Cin); w: (5, 5, Cin, Cout); b: (Cout,). Returns the SAME
     5x5 conv (N, H, W, Cout), optionally with a fused ReLU. H must be
-    divisible by the row tile (auto-picked: the largest of 32/16/8 that
+    divisible by the row tile (auto-picked: the largest of 64/32/16/8 that
     divides H and fits VMEM)."""
     n, h, width, cin = x.shape
     cout = w.shape[-1]
@@ -81,14 +83,17 @@ def conv5x5_same(x, w, b, relu=False, tile_h=None, interpret=False):
     if tile_h is None:
         # xbuf + f32 accumulator + double-buffered output blocks + weights
         # must fit the 16 MB VMEM with ~2x headroom for Mosaic's
-        # slice staging (budget calibrated on v5e)
+        # slice staging (budget calibrated on v5e); element size follows the
+        # input dtype (2 for bf16, 4 for f32 — a hardcoded 2 would
+        # under-budget f32 tiles 2x and overflow VMEM at compile time)
+        esz = np.dtype(x.dtype).itemsize
         for cand in (64, 32, 16, 8):
             vmem = (
-                (cand + 4) * wp * cin * 2
+                (cand + 4) * wp * cin * esz
                 + cand * width * cout * 4
-                + 2 * cand * width * cout * 2
-                + 2 * cand * width * cin * 2
-                + 25 * cin * cout * 2
+                + 2 * cand * width * cout * esz
+                + 2 * cand * width * cin * esz
+                + 25 * cin * cout * esz
             )
             if h % cand == 0 and vmem < 8 * 2**20:
                 tile_h = cand

@@ -17,8 +17,17 @@ def linear_resize_matrix(in_len, out_len, align_corners=False, dtype=np.float32)
     """(out, in) interpolation matrix matching torch's upsample_bilinear2d."""
     m = np.zeros((out_len, in_len), dtype=np.float64)
     if out_len == 1:
-        # torch picks src 0 for both conventions when out == 1
-        m[0, 0] = 1.0
+        if align_corners:
+            m[0, 0] = 1.0  # torch: src index 0
+        else:
+            # torch: src = in/2 - 0.5 (the center), bilinear between the two
+            # middle pixels for even in_len
+            src = np.asarray([max(0.0, in_len / 2.0 - 0.5)])
+            i0 = min(int(np.floor(src[0])), in_len - 1)
+            i1 = min(i0 + 1, in_len - 1)
+            w1 = float(src[0] - i0)
+            m[0, i0] += 1.0 - w1
+            m[0, i1] += w1
         return m.astype(dtype)
     dst = np.arange(out_len, dtype=np.float64)
     if align_corners:

@@ -8,10 +8,9 @@
 // device. Bound from Python via ctypes (mobilesuperresolution_tpu/data/
 // native_loader.py); every entry point has a pure-numpy fallback.
 //
-// yuv420_to_rgb_u8 is bit-identical to data/yuv.py::yuv420_to_rgb: double
-// math, BT.601 full-range coefficients in the same expression order, clip to
-// [0,255], then truncating cast (numpy's astype(np.uint8) after np.clip).
-// Build with -ffp-contract=off so no FMA contraction changes the rounding.
+// yuv420_to_rgb_u8 is bit-identical to data/yuv.py::yuv420_to_rgb AND to the
+// reference's cv2 pipeline (resize INTER_LINEAR 2x chroma + YCrCb2RGB):
+// all-integer replication of cv2's fixed-point arithmetic.
 
 #include <algorithm>
 #include <cstdint>
@@ -29,26 +28,54 @@ int pick_threads(int64_t work_items) {
   return std::max(t, 1);
 }
 
-inline uint8_t clip_u8(double v) {
-  // np.clip(v, 0, 255).astype(np.uint8): clamp, then truncate toward zero.
-  return static_cast<uint8_t>(std::min(255.0, std::max(0.0, v)));
+// cv2 fixed-point descale: (x + 2^(n-1)) >> n (arithmetic shift).
+inline int64_t descale(int64_t x, int n) { return (x + (int64_t{1} << (n - 1))) >> n; }
+
+// One upsampled chroma row (cv2.resize INTER_LINEAR 2x, uint8 fixed-point
+// SIMD rounding path: coef scale 2048; per-term (b*(S>>4))>>16, (+2)>>2).
+void up2_row(const uint8_t* plane, int ch, int cw, int w, int i, int64_t* dst) {
+  const int r = i / 2;
+  const int top = (i % 2 == 0) ? std::max(r - 1, 0) : r;
+  const int bot = (i % 2 == 0) ? r : std::min(r + 1, ch - 1);
+  const int64_t wt = (i % 2 == 0) ? 512 : 1536;
+  const int64_t wb = 2048 - wt;
+  const uint8_t* trow = plane + static_cast<int64_t>(top) * cw;
+  const uint8_t* brow = plane + static_cast<int64_t>(bot) * cw;
+  for (int j = 0; j < w; ++j) {
+    const int k = j / 2;
+    const int left = (j % 2 == 0) ? std::max(k - 1, 0) : k;
+    const int right = (j % 2 == 0) ? k : std::min(k + 1, cw - 1);
+    const int64_t wl = (j % 2 == 0) ? 512 : 1536;
+    const int64_t wr = 2048 - wl;
+    const int64_t rt = wl * trow[left] + wr * trow[right];  // scale 2048
+    const int64_t rb = wl * brow[left] + wr * brow[right];
+    int64_t t = ((wt * (rt >> 4)) >> 16) + ((wb * (rb >> 4)) >> 16);
+    t = (t + 2) >> 2;
+    dst[j] = std::min<int64_t>(255, std::max<int64_t>(0, t));
+  }
 }
 
 void yuv_rows(const uint8_t* y, const uint8_t* u, const uint8_t* v, int h,
               int w, int row0, int row1, uint8_t* out) {
   const int cw = w / 2;
+  const int ch = h / 2;
+  std::vector<int64_t> cb(w), cr(w);
   for (int i = row0; i < row1; ++i) {
     const uint8_t* yrow = y + static_cast<int64_t>(i) * w;
-    const uint8_t* urow = u + static_cast<int64_t>(i / 2) * cw;
-    const uint8_t* vrow = v + static_cast<int64_t>(i / 2) * cw;
     uint8_t* orow = out + static_cast<int64_t>(i) * w * 3;
+    up2_row(u, ch, cw, w, i, cb.data());
+    up2_row(v, ch, cw, w, i, cr.data());
     for (int j = 0; j < w; ++j) {
-      const double yf = static_cast<double>(yrow[j]);
-      const double uf = static_cast<double>(urow[j / 2]) - 128.0;
-      const double vf = static_cast<double>(vrow[j / 2]) - 128.0;
-      orow[3 * j + 0] = clip_u8(yf + 1.403 * vf);
-      orow[3 * j + 1] = clip_u8(yf - 0.344 * uf - 0.714 * vf);
-      orow[3 * j + 2] = clip_u8(yf + 1.773 * uf);
+      const int64_t Y = yrow[j];
+      const int64_t CB = cb[j] - 128;
+      const int64_t CR = cr[j] - 128;
+      // cvtColor YCrCb2RGB 14-bit fixed point (bit-identical to cv2)
+      const int64_t r = Y + descale(22987 * CR, 14);
+      const int64_t g = Y + descale(-11698 * CR - 5636 * CB, 14);
+      const int64_t b = Y + descale(29049 * CB, 14);
+      orow[3 * j + 0] = static_cast<uint8_t>(std::min<int64_t>(255, std::max<int64_t>(0, r)));
+      orow[3 * j + 1] = static_cast<uint8_t>(std::min<int64_t>(255, std::max<int64_t>(0, g)));
+      orow[3 * j + 2] = static_cast<uint8_t>(std::min<int64_t>(255, std::max<int64_t>(0, b)));
     }
   }
 }

@@ -206,3 +206,59 @@ class TestRedsWithMV:
         assert lr.shape == (3, 16, 16, 5) and hr.shape == (3, 64, 64, 3)
         np.testing.assert_allclose(lr[..., 3], 1.0)
         np.testing.assert_allclose(lr[..., 4], 2.0)
+
+
+class TestDataHardening:
+    """Regression tests for host-side data bugs found in review."""
+
+    def test_renumber_frames_collision_safe(self, tmp_path):
+        """A rename target colliding with a not-yet-renamed source must not
+        clobber it (two-phase rename)."""
+        from mobilesuperresolution_tpu.data.frame_utils import renumber_frames
+
+        contents = {"!.png": b"bang", "0000.png": b"zero", "0001.png": b"one"}
+        for name, data in contents.items():
+            (tmp_path / name).write_bytes(data)
+        renumber_frames(str(tmp_path))
+        got = sorted(os.listdir(tmp_path))
+        assert got == ["0000.png", "0001.png", "0002.png"]
+        # '!' sorts first → becomes 0000; originals shift, nothing lost
+        assert (tmp_path / "0000.png").read_bytes() == b"bang"
+        assert (tmp_path / "0001.png").read_bytes() == b"zero"
+        assert (tmp_path / "0002.png").read_bytes() == b"one"
+
+    def test_prefetch_propagates_dataset_errors(self):
+        """An exception inside the prefetch worker must re-raise in the
+        consumer, not truncate the epoch silently."""
+        from mobilesuperresolution_tpu.data.isr import batch_iterator
+
+        class Bad:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i >= 2:
+                    raise RuntimeError("corrupt item")
+                return np.zeros((4, 4, 3)), np.zeros((8, 8, 3))
+
+        with pytest.raises(RuntimeError, match="corrupt item"):
+            for _ in batch_iterator(Bad(), 1, shuffle=False, prefetch=2):
+                pass
+
+    def test_load_image_grayscale_is_rgb(self, tmp_path):
+        from PIL import Image
+
+        from mobilesuperresolution_tpu.data.io_cache import load_image
+
+        p = tmp_path / "gray.png"
+        Image.fromarray(np.zeros((10, 12), np.uint8), mode="L").save(p)
+        img = load_image(str(p))
+        assert img.shape == (10, 12, 3)
+
+    def test_video_dataset_rejects_mismatched_trees(self, tmp_path):
+        from mobilesuperresolution_tpu.data import vsr as _vsr
+
+        p = _params(tmp_path)
+        w = [[("a/0.png", None)], [("a/1.png", None)]]
+        with pytest.raises(ValueError, match="mismatch"):
+            _vsr.VideoSRDataset(modes.TRAIN, p, w, w[:1])

@@ -62,6 +62,22 @@ class TestNativeLoader:
             native_loader.yuv420_to_rgb(y, u, v), np_path(y, u, v)
         )
 
+    def test_yuv420_matches_cv2_reference_recipe(self, rng):
+        """Bit-parity with the reference's ACTUAL conversion
+        (yuv420_to_bgr.py:14-17: cv2.resize INTER_LINEAR chroma +
+        COLOR_YCrCb2BGR) — our integer replication of cv2's fixed point."""
+        cv2 = pytest.importorskip("cv2")
+        from mobilesuperresolution_tpu.data.yuv import yuv420_to_rgb
+
+        h, w = 240, 426
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        u = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+        uu = cv2.resize(u, (w, h))
+        vv = cv2.resize(v, (w, h))
+        want = cv2.cvtColor(cv2.merge((y, vv, uu)), cv2.COLOR_YCrCb2RGB)
+        np.testing.assert_array_equal(yuv420_to_rgb(y, u, v), want)
+
     def test_yuv420_odd_size_falls_back(self, rng):
         from mobilesuperresolution_tpu.data import native_loader
         from mobilesuperresolution_tpu.data.yuv import yuv420_to_rgb as np_path
