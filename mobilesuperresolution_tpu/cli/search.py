@@ -141,13 +141,31 @@ def main(argv=None):
     else:
         ori_speed = get_ori_speed(params.num_blocks, params.num_residual_units)
     logging.info(f"Supernet Speed: {ori_speed:.02f} ms; target {params.speed_target:.02f} ms")
-    speed_loss = SpeedLoss(scale=max(ori_speed - params.speed_target, 1e-6))
-    scheduler = SpeedScheduler(
-        search_epoch=params.width_epochs + params.epochs,
-        total_speed=ori_speed,
-        target_speed=params.speed_target,
-        gamma=0.5,
-    )
+    if ori_speed <= params.speed_target:
+        # Degenerate with measured TPU tables (they can sit ~20x below the
+        # analytic mobile estimate the default targets assume): the supernet
+        # already meets the target. A (ori−target) scale would be ≤0 and the
+        # scheduler would anneal BACKWARDS (tightest target first), so use a
+        # target-magnitude loss scale and a constant target instead.
+        logging.warning(
+            "supernet already meets the speed target — latency pressure only "
+            "penalizes regressions above the target"
+        )
+        speed_loss = SpeedLoss(scale=max(params.speed_target, 1e-6))
+        scheduler = SpeedScheduler(
+            search_epoch=params.width_epochs + params.epochs,
+            total_speed=params.speed_target,  # constant: no annealing ramp
+            target_speed=params.speed_target,
+            gamma=0.5,
+        )
+    else:
+        speed_loss = SpeedLoss(scale=ori_speed - params.speed_target)
+        scheduler = SpeedScheduler(
+            search_epoch=params.width_epochs + params.epochs,
+            total_speed=ori_speed,
+            target_speed=params.speed_target,
+            gamma=0.5,
+        )
 
     sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
     variables = jax.jit(model.init)(jax.random.key(params.seed), sample)
@@ -169,12 +187,24 @@ def main(argv=None):
 
         latest = ckpt.latest_epoch()
         npz = _os.path.join(params.job_dir, "weights", "models.npz")
-        if latest and _os.path.exists(npz):
+        has_npz = _os.path.exists(npz)
+        if latest and has_npz:
             from mobilesuperresolution_tpu.train.checkpoint import load_params_npz
 
             base_params = load_params_npz(npz, base_params)
             start_epoch = latest
             logging.info(f"resuming search from epoch {latest}")
+        elif bool(latest) != has_npz:
+            # one artifact without the other = a damaged job dir; training
+            # from scratch here would silently overwrite the survivor
+            raise RuntimeError(
+                f"--resume found inconsistent state in {params.job_dir}: "
+                f"checkpoint epoch={latest}, weights npz "
+                f"{'present' if has_npz else 'missing'} — repair or clear "
+                "the job dir"
+            )
+        else:
+            logging.info("--resume: nothing to resume, starting fresh")
 
     epoch = 0
     for phase in PHASES:

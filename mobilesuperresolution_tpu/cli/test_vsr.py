@@ -65,7 +65,12 @@ def main(argv=None):
             sd = torch.load(params.eval_model, map_location="cpu")
             if "params" in sd and not any(k.startswith("spynet") for k in sd):
                 sd = sd["params"]
-            converted, _ = convert_basicvsr_origin_state_dict(sd)
+            converted, ckpt_blocks = convert_basicvsr_origin_state_dict(sd)
+            if ckpt_blocks != model.num_block:
+                raise ValueError(
+                    f"checkpoint has {ckpt_blocks} trunk blocks but "
+                    f"basic_origin expects {model.num_block}"
+                )
             state = state.replace(params=converted)
         else:
             state = state.replace(

@@ -159,6 +159,13 @@ def main(argv=None):
     )
     params, _ = parse_with_plugins(parser, argv, with_models=False)
     logging = LoggingTool(params.job_dir)
+    if getattr(params, "chunk_frames", 0):
+        # the shared add_vsr_args flag applies to full-frame eval only —
+        # reject rather than silently run unchunked
+        raise ValueError(
+            "--chunk_frames applies to full-frame eval (cli.test_vsr); "
+            "patch-tiled eval bounds memory by the patch instead"
+        )
 
     dtype = jnp.bfloat16 if params.bf16 else jnp.float32
     model = get_vsr_model(
@@ -166,6 +173,7 @@ def main(argv=None):
         scale=params.scale,
         block_index_path=params.model_path,
         compute_dtype=dtype,
+        flow_downscale=getattr(params, "flow_downscale", 1),
     )
     c_in = 5 if params.model_type == "basic_mv" else 3
     sample = jnp.zeros((1, params.image_batch, params.patch_h, params.patch_w, c_in))

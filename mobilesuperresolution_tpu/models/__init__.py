@@ -75,6 +75,8 @@ def get_vsr_model(
     BasicVSRBase). Rejected for model types that never run SpyNet at
     inference ('single', 'basic_mv', 'multi_v1') rather than silently
     ignored."""
+    if flow_downscale < 1:
+        raise ValueError(f"flow_downscale must be >= 1, got {flow_downscale}")
     if flow_downscale != 1 and model_type not in ("basic", "basic_origin", "multi"):
         raise ValueError(
             f"flow_downscale is only implemented for 'basic'/'basic_origin'/"

@@ -55,16 +55,18 @@ def chunked_vsr_apply(apply_fn, lr, height, width, chunk, overlap=4, mesh=None):
         return apply_fn(lr, height, width)
 
     starts = list(range(0, t, chunk))
-    windows = []
-    for s in starts:
-        # clamp out-of-range context to the clip edges → uniform window shape
+
+    def window(s):
+        # clamp out-of-range context to the clip edges → uniform window
+        # shape; built lazily per window so memory stays bounded by the
+        # window (or group), never all windows at once
         idx = np.clip(np.arange(s - overlap, s + chunk + overlap), 0, t - 1)
-        windows.append(lr[:, idx])
+        return lr[:, idx]
 
     if mesh is None:
         outs = []
-        for s, w in zip(starts, windows):
-            sr = apply_fn(w, height, width)
+        for s in starts:
+            sr = apply_fn(window(s), height, width)
             outs.append(sr[:, overlap : overlap + min(chunk, t - s)])
         return jnp.concatenate(outs, axis=1)
 
@@ -74,7 +76,7 @@ def chunked_vsr_apply(apply_fn, lr, height, width, chunk, overlap=4, mesh=None):
     nd = mesh.shape["data"]
     outs = []
     for i in range(0, len(starts), nd):
-        group = windows[i : i + nd]
+        group = [window(s) for s in starts[i : i + nd]]
         n = len(group)
         # pad the group with copies of its last window → one program shape
         stacked = jnp.concatenate(group + [group[-1]] * (nd - n), axis=0)

@@ -88,6 +88,16 @@ def convert_spynet_state_dict(sd, prefix="spynet."):
             )
         out[f"level_{level}"] = lp
         level += 1
+    if level == 0:
+        # an empty tree would surface much later as a flax missing-param
+        # error far from the cause (e.g. 'module.'-prefixed DataParallel or
+        # full-mmedit checkpoints) — fail at the conversion site instead
+        sample = sorted(sd)[:3]
+        raise ValueError(
+            f"no SpyNet keys matched prefix {prefix!r} — checkpoint keys "
+            f"look like {sample}; expected "
+            f"'{prefix}basic_module.<level>.basic_module.<2j>.weight'"
+        )
     return out
 
 

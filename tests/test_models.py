@@ -229,6 +229,10 @@ class TestFlowDownscale:
         with pytest.raises(ValueError, match="flow_downscale"):
             get_vsr_model("basic_mv", scale=2, flow_downscale=2)
 
+    def test_rejects_nonpositive_downscale(self):
+        with pytest.raises(ValueError, match=">= 1"):
+            get_vsr_model("basic", scale=2, flow_downscale=0)
+
     def test_naive_multi_flow_downscale(self, tmp_path):
         art = tmp_path / "block_index.txt"
         art.write_text("[0, 1]:[[8, 8, 3], [8, 6, 5]]\n")

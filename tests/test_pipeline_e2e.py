@@ -235,3 +235,43 @@ def test_export_vsr_stablehlo(tmp_path):
     y = reloaded.call(jnp.zeros((1, 2, 16, 16, 3), jnp.float32))
     assert y.shape == (1, 2, 32, 32, 3)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_search_met_target_degenerate(tmp_path):
+    """speed_target above the supernet's (measured) speed must not explode
+    the SpeedLoss scale or anneal backwards — constant target, warning, and
+    a completed search (cli/search.py degenerate branch)."""
+    job = tmp_path / "search_met"
+    search_cli.main(
+        [
+            "--job_dir", str(job),
+            "--dataset", "synthetic_isr",
+            "--eval_datasets",
+            "--num_blocks", "2",
+            "--num_residual_units", "8",
+            "--scale", "2",
+            "--width_search",
+            "--speed_target", "100000",
+            "--width_epochs", "1",
+            "--epochs", "0",
+            "--kernel_epochs", "0",
+            "--train_batch_size", "8",
+            "--lr_patch_size", "16",
+            "--num_patches", "2",
+            "--log_steps", "1",
+        ]
+    )
+    log = (job / "result.log").read_text()
+    assert "already meets the speed target" in log
+    assert "speed target: 100000.00" in log  # constant, not annealed from below
+    assert (job / "block_index.txt").exists()
+
+
+def test_patch_cli_rejects_chunk_flags(tmp_path):
+    from mobilesuperresolution_tpu.cli import test_vsr_by_patch as patch_cli
+
+    with pytest.raises(ValueError, match="chunk_frames"):
+        patch_cli.main(
+            ["--job_dir", str(tmp_path / "p"), "--dataset", "synthetic_vsr",
+             "--chunk_frames", "2"]
+        )

@@ -451,3 +451,15 @@ def test_convert_standalone_spynet_state_dict():
         jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_p)
     ):
         np.testing.assert_array_equal(a, b)
+
+
+def test_convert_spynet_rejects_unknown_prefix():
+    """An unmatched key prefix must fail at conversion, not as a flax
+    missing-param error later."""
+    from mobilesuperresolution_tpu.train.torch_convert import (
+        convert_spynet_state_dict,
+    )
+
+    sd = {"module.basic_module.0.basic_module.0.weight": np.zeros((32, 8, 7, 7))}
+    with pytest.raises(ValueError, match="no SpyNet keys matched"):
+        convert_spynet_state_dict(sd, prefix="")
