@@ -65,8 +65,8 @@ def get_vsr_model(
     compute_dtype=jnp.float32,
     flow_downscale=1,
 ):
-    """Build a VSR model by type string ('single' | 'multi' | 'basic' |
-    'basic_mv' | 'basic_origin'), with the reference's canonical sizes
+    """Build a VSR model by type string ('single' | 'multi' | 'multi_v1' |
+    'basic' | 'basic_mv' | 'basic_origin'), with the reference's canonical sizes
     (train_video_superresolution.py:243-253,
     test_video_superresolution.py:222-235).
 
@@ -80,8 +80,8 @@ def get_vsr_model(
     if flow_downscale != 1 and model_type not in ("basic", "basic_origin", "multi"):
         raise ValueError(
             f"flow_downscale is only implemented for 'basic'/'basic_origin'/"
-            f"'multi', not {model_type!r} ('single' and 'basic_mv' run no "
-            "SpyNet at inference)"
+            f"'multi', not {model_type!r}: 'single' and 'basic_mv' run no "
+            "SpyNet at inference, and 'multi_v1' does not implement it"
         )
     if model_type == "single":
         return SingleImageModel(

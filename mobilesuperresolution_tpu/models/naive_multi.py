@@ -102,7 +102,9 @@ class NaiveMultiModel(nn.Module):
         out = WNConv(num_outputs, 3, g_init=None, name="decode")(y)
         out = depth_to_space(out, self.scale)
         base = resize_bilinear(
-            x.reshape(b * t, h, w, c), (h * 4, w * 4), align_corners=False
+            x.reshape(b * t, h, w, c),
+            (h * self.scale, w * self.scale),
+            align_corners=False,
         )
         out = out + base
         oh, ow = out.shape[1:3]

@@ -33,11 +33,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mobilesuperresolution_tpu.nas.speed_estimator import block_speed_from_gates
+from mobilesuperresolution_tpu.nas.speed_estimator import (
+    KERNEL_CHOICES,  # one source of truth: the branch mix and the latency
+    block_speed_from_gates,  # vector must agree on the kernel menu
+)
 from mobilesuperresolution_tpu.ops.layers import WNConv, depth_to_space
 from mobilesuperresolution_tpu.ops.ste import binary_mask, condition, rounding
-
-KERNEL_CHOICES = (3, 5, 7)
 
 
 def gate_init(key, shape, dtype=jnp.float32):

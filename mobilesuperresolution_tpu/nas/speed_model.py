@@ -57,7 +57,12 @@ def train_speed_predictor(
 
     model = SpeedPredictor(num_feat=3)
     params = model.init(jax.random.key(seed), jnp.zeros((1, 3)))["params"]
-    sched = optax.exponential_decay(lr, transition_steps=epochs // 4 * max(1, n_train // batch_size), decay_rate=0.5, staircase=True)
+    sched = optax.exponential_decay(
+        lr,
+        transition_steps=max(1, epochs // 4) * max(1, n_train // batch_size),
+        decay_rate=0.5,
+        staircase=True,
+    )
     tx = optax.adam(sched) if optimizer == "adam" else optax.sgd(sched, momentum=0.9)
     opt_state = tx.init(params)
 

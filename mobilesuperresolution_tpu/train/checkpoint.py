@@ -40,10 +40,16 @@ class CheckpointManager:
     def latest_epoch(self) -> Optional[int]:
         return self._mngr.latest_step()
 
-    def restore(self, state, epoch: Optional[int] = None):
+    def restore(self, state, epoch: Optional[int] = None, extra_template=None):
         """Returns (state_with_restored_params_and_opt, epoch) or (state, 0)
-        if nothing to restore."""
+        if nothing to restore.
+
+        extra_template: pass the same-structured dict that was given to
+        ``save(extra=...)`` to get it back via ``self.last_extra``; the
+        template must match whether the checkpoint was saved with extra
+        (orbax restores by tree structure)."""
         target_epoch = epoch if epoch is not None else self._mngr.latest_step()
+        self.last_extra = None
         if target_epoch is None:
             return state, 0
         template = {
@@ -52,9 +58,12 @@ class CheckpointManager:
             "step": 0,
             "epoch": 0,
         }
+        if extra_template is not None:
+            template["extra"] = jax.device_get(extra_template)
         restored = self._mngr.restore(
             target_epoch, args=ocp.args.StandardRestore(template)
         )
+        self.last_extra = restored.get("extra")
         state = state.replace(
             params=restored["params"],
             opt_state=restored["opt_state"],

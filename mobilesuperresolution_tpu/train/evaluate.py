@@ -125,6 +125,7 @@ def evaluate(
         else:
             b = hr.shape[0]
             res.total += int(b)
+            res.loss += float(charbonnier_loss(sr, hr)) * b
             baseline = resize_bilinear(lr_in, (out_h, out_w), align_corners=True)[
                 ..., :3
             ]

@@ -33,7 +33,14 @@ def multistep_lr(base_lr, steps_per_epoch, epochs, gamma=0.3, milestones=None):
     epochs (pretrain.py:139-142)."""
     if milestones is None:
         milestones = [epochs // 2, epochs * 9 // 10]
-    boundaries = {int(m * steps_per_epoch): gamma for m in milestones if m > 0}
+    # torch MultiStepLR applies gamma once PER OCCURRENCE of a milestone —
+    # duplicate milestones (e.g. [1, 1] from epochs=2 defaults) must compound
+    # to gamma^2, not collapse into one dict key
+    boundaries = {}
+    for m in milestones:
+        if m > 0:
+            step = int(m * steps_per_epoch)
+            boundaries[step] = boundaries.get(step, 1.0) * gamma
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 

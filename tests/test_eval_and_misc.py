@@ -35,6 +35,9 @@ class TestEvaluate:
         # identity-ish upscale: SR == bilinear baseline → equal PSNRs
         assert abs(d["PSNR"] - d["bilinear_PSNR"]) < 1e-3
         assert 0 < d["SSIM"] <= 1
+        # the image branch must report a real eval loss like the video
+        # branch does (it was left at 0.0)
+        assert d["loss"] > 0
 
     def test_video_branch_counts_frames(self, rng):
         t = 3
@@ -265,3 +268,50 @@ def test_meters_and_modes():
     assert t.complete_time(6) == pytest.approx(3.0, rel=0.2)
 
     assert modes.TRAIN == "train" and modes.EVAL == "eval" and modes.PREDICT == "predict"
+
+
+class TestSchedulesAndCheckpointExtras:
+    def test_multistep_lr_duplicate_milestones_compound(self):
+        """torch MultiStepLR applies gamma once PER OCCURRENCE — epochs=2
+        defaults to milestones [1, 1], which must decay to gamma^2."""
+        from mobilesuperresolution_tpu.train.state import multistep_lr
+
+        sched = multistep_lr(1.0, steps_per_epoch=10, epochs=2, gamma=0.3)
+        assert abs(float(sched(5)) - 1.0) < 1e-9
+        assert abs(float(sched(15)) - 0.09) < 1e-6
+
+    def test_checkpoint_extra_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from mobilesuperresolution_tpu.models import BasicModel
+        from mobilesuperresolution_tpu.train.checkpoint import CheckpointManager
+        from mobilesuperresolution_tpu.train.state import create_train_state
+
+        m = BasicModel(num_blocks=1, num_residual_units=8, scale=2)
+        s = create_train_state(
+            m, jax.random.key(0), jnp.zeros((1, 8, 8, 3)), optax.sgd(1e-3)
+        )
+        ckpt = CheckpointManager(str(tmp_path))
+        ckpt.save(1, s, extra={"scheduler_epoch": 7})
+        s2, epoch = ckpt.restore(s, extra_template={"scheduler_epoch": 0})
+        assert epoch == 1
+        assert int(ckpt.last_extra["scheduler_epoch"]) == 7
+
+    def test_speed_predictor_small_epochs(self):
+        """epochs < 4 must not crash the LR schedule (transition_steps 0)."""
+        from mobilesuperresolution_tpu.nas.speed_model import train_speed_predictor
+
+        rng = np.random.default_rng(0)
+        rows = np.stack(
+            [
+                rng.integers(8, 32, 40).astype(np.float32),
+                rng.integers(8, 32, 40).astype(np.float32),
+                rng.choice([3, 5, 7], 40).astype(np.float32),
+                rng.random(40).astype(np.float32) + 0.1,
+            ],
+            axis=1,
+        )
+        params, report = train_speed_predictor(rows, epochs=2)
+        assert params is not None and report is not None
