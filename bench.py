@@ -44,14 +44,12 @@ def main():
     # remote-compile tunnel (~40 min); one jitted program takes seconds.
     variables = jax.jit(model.init, static_argnums=(2, 3))(jax.random.key(0), x, OH, OW)
 
-    @jax.jit
-    def forward(variables, x):
-        return model.apply(variables, x, OH, OW)
-
-    # compile + warmup + shape check
-    out = forward(variables, x)
-    assert out.shape == (1, T, OH, OW, 3), out.shape
-    float(out.mean())
+    # shape check WITHOUT compiling a second full 1080p program (a cold
+    # compile through the tunnel costs ~10 min; eval_shape is milliseconds)
+    out_shape = jax.eval_shape(
+        lambda v, xx: model.apply(v, xx, OH, OW), variables, x
+    ).shape
+    assert out_shape == (1, T, OH, OW, 3), out_shape
 
     # The tunneled backend has ~30 ms per-dispatch RTT, so K forwards run
     # inside ONE dispatched program (chained through a scalar so XLA cannot
@@ -62,7 +60,11 @@ def main():
     def timed_loop(variables, x):
         def body(_, acc):
             out = model.apply(variables, x + acc * 1e-12, OH, OW)
-            return jnp.mean(out[:, -1, ::64, ::64, 0]).astype(jnp.float32)
+            # reduce over ALL frames so the reconstruction of no frame is
+            # dead code the simplifier could slice away (measured: the
+            # last-frame-only form was within 0.7% — no DCE occurred — but
+            # the all-frames form removes the loophole by construction)
+            return jnp.mean(out[:, :, ::64, ::64, 0]).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, K, body, jnp.float32(0))
 

@@ -5,7 +5,7 @@ experiment_name=${1:-nemo_multi}
 block_index=${2:?usage: nemo_multi.sh <name> <block_index.txt>}
 now=$(date +'%b%d_%H_%M_%S')
 python -m mobilesuperresolution_tpu.cli.train_vsr \
-  --job_dir "runs/${experiment_name}_${now}" \
+  --job_dir "${JOB_DIR:-runs/${experiment_name}_${now}}" \
   --dataset nemo --model_type multi --model_path "$block_index" \
   --scale 4 --image_batch 10 --epochs 30 \
   --train_batch_size 2 --lr_patch_size 64 --learning_rate 1e-4 \

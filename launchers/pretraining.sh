@@ -3,7 +3,9 @@
 set -e
 experiment_name=${1:-pretrain}
 now=$(date +'%b%d_%H_%M_%S')
-job_dir="runs/${experiment_name}_${now}"
+# JOB_DIR pins the job dir (no timestamp) so with_retries.sh resumes
+# into the SAME directory across retries
+job_dir="${JOB_DIR:-runs/${experiment_name}_${now}}"
 
 python -m mobilesuperresolution_tpu.cli.pretrain \
   --job_dir "$job_dir" \

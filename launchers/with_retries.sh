@@ -6,6 +6,10 @@
 # reference's --resume flag never loaded anything, SURVEY §5.3/§5.4).
 #
 # Usage: launchers/with_retries.sh <max_retries> <python -m ...cli.pretrain --job_dir ...>
+#
+# Composing with a launcher preset: the presets timestamp their job dir per
+# invocation, so pin it with JOB_DIR or every retry would start a FRESH run:
+#   JOB_DIR=runs/exp launchers/with_retries.sh 5 launchers/pretraining.sh exp
 set -u
 max_retries=${1:?usage: with_retries.sh <max_retries> <command...>}
 shift

@@ -64,9 +64,13 @@ def imresize_u8(I, scalar_scale=None, output_shape=None):
     if scalar_scale is not None:
         scale = [float(scalar_scale)] * 2
         out_size = derive_size_from_scale(I.shape, float(scalar_scale))
-    else:
+    elif output_shape is not None:
         scale = [output_shape[k] / I.shape[k] for k in range(2)]
         out_size = list(output_shape)
+    else:
+        # mirror imresize_np's explicit error (the native path would
+        # otherwise die with an opaque NoneType TypeError)
+        raise ValueError("need scalar_scale or output_shape")
 
     order = np.argsort(np.array(scale), kind="stable")
     B = I

@@ -78,6 +78,10 @@ def load_raw_window(paths, frame_shape, flip_bgr=False):
     one (T, H, W, C) array. Returns None if the native library is missing or
     any frame fails (caller falls back to per-file numpy reads, which produce
     the precise exception)."""
+    if flip_bgr and (len(frame_shape) < 1 or frame_shape[-1] != 3):
+        # the C side swaps byte TRIPLETS (frame_bytes/3 truncates) — on a
+        # non-3-channel frame that silently scrambles data, so reject here
+        raise ValueError(f"flip_bgr requires 3-channel frames, got {frame_shape}")
     lib = _lib()
     if lib is None:
         return None

@@ -31,44 +31,52 @@ int pick_threads(int64_t work_items) {
 // cv2 fixed-point descale: (x + 2^(n-1)) >> n (arithmetic shift).
 inline int64_t descale(int64_t x, int n) { return (x + (int64_t{1} << (n - 1))) >> n; }
 
-// One upsampled chroma row (cv2.resize INTER_LINEAR 2x, uint8 fixed-point
-// SIMD rounding path: coef scale 2048; per-term (b*(S>>4))>>16, (+2)>>2).
-void up2_row(const uint8_t* plane, int ch, int cw, int w, int i, int64_t* dst) {
-  const int r = i / 2;
-  const int top = (i % 2 == 0) ? std::max(r - 1, 0) : r;
-  const int bot = (i % 2 == 0) ? r : std::min(r + 1, ch - 1);
-  const int64_t wt = (i % 2 == 0) ? 512 : 1536;
-  const int64_t wb = 2048 - wt;
-  const uint8_t* trow = plane + static_cast<int64_t>(top) * cw;
-  const uint8_t* brow = plane + static_cast<int64_t>(bot) * cw;
-  for (int j = 0; j < w; ++j) {
-    const int k = j / 2;
-    const int left = (j % 2 == 0) ? std::max(k - 1, 0) : k;
-    const int right = (j % 2 == 0) ? k : std::min(k + 1, cw - 1);
-    const int64_t wl = (j % 2 == 0) ? 512 : 1536;
-    const int64_t wr = 2048 - wl;
-    const int64_t rt = wl * trow[left] + wr * trow[right];  // scale 2048
-    const int64_t rb = wl * brow[left] + wr * brow[right];
-    int64_t t = ((wt * (rt >> 4)) >> 16) + ((wb * (rb >> 4)) >> 16);
-    t = (t + 2) >> 2;
-    dst[j] = std::min<int64_t>(255, std::max<int64_t>(0, t));
+// Horizontal pass of the chroma upsample (cv2.resize INTER_LINEAR 2x,
+// uint8 fixed-point: coef scale 2048), computed ONCE per source row —
+// adjacent output rows share source rows, so recomputing per output row
+// (the old form) did up to 4x redundant arithmetic. Max value 2048*255
+// fits int32.
+void hpass_plane(const uint8_t* plane, int ch, int cw, int w, int32_t* dst) {
+  for (int r = 0; r < ch; ++r) {
+    const uint8_t* src = plane + static_cast<int64_t>(r) * cw;
+    int32_t* d = dst + static_cast<int64_t>(r) * w;
+    for (int j = 0; j < w; ++j) {
+      const int k = j / 2;
+      const int left = (j % 2 == 0) ? std::max(k - 1, 0) : k;
+      const int right = (j % 2 == 0) ? k : std::min(k + 1, cw - 1);
+      const int32_t wl = (j % 2 == 0) ? 512 : 1536;
+      d[j] = wl * src[left] + (2048 - wl) * src[right];
+    }
   }
 }
 
-void yuv_rows(const uint8_t* y, const uint8_t* u, const uint8_t* v, int h,
+// Vertical pass + color conversion for one upsampled chroma row (SIMD
+// rounding path: per-term (b*(S>>4))>>16, (+2)>>2).
+inline int64_t vpass(const int32_t* top, const int32_t* bot, int64_t wt,
+                     int j) {
+  const int64_t t = ((wt * (static_cast<int64_t>(top[j]) >> 4)) >> 16) +
+                    (((2048 - wt) * (static_cast<int64_t>(bot[j]) >> 4)) >> 16);
+  return std::min<int64_t>(255, std::max<int64_t>(0, (t + 2) >> 2));
+}
+
+void yuv_rows(const uint8_t* y, const int32_t* uh, const int32_t* vh, int h,
               int w, int row0, int row1, uint8_t* out) {
-  const int cw = w / 2;
   const int ch = h / 2;
-  std::vector<int64_t> cb(w), cr(w);
   for (int i = row0; i < row1; ++i) {
     const uint8_t* yrow = y + static_cast<int64_t>(i) * w;
     uint8_t* orow = out + static_cast<int64_t>(i) * w * 3;
-    up2_row(u, ch, cw, w, i, cb.data());
-    up2_row(v, ch, cw, w, i, cr.data());
+    const int r = i / 2;
+    const int top = (i % 2 == 0) ? std::max(r - 1, 0) : r;
+    const int bot = (i % 2 == 0) ? r : std::min(r + 1, ch - 1);
+    const int64_t wt = (i % 2 == 0) ? 512 : 1536;
+    const int32_t* ut = uh + static_cast<int64_t>(top) * w;
+    const int32_t* ub = uh + static_cast<int64_t>(bot) * w;
+    const int32_t* vt = vh + static_cast<int64_t>(top) * w;
+    const int32_t* vb = vh + static_cast<int64_t>(bot) * w;
     for (int j = 0; j < w; ++j) {
       const int64_t Y = yrow[j];
-      const int64_t CB = cb[j] - 128;
-      const int64_t CR = cr[j] - 128;
+      const int64_t CB = vpass(ut, ub, wt, j) - 128;
+      const int64_t CR = vpass(vt, vb, wt, j) - 128;
       // cvtColor YCrCb2RGB 14-bit fixed point (bit-identical to cv2)
       const int64_t r = Y + descale(22987 * CR, 14);
       const int64_t g = Y + descale(-11698 * CR - 5636 * CB, 14);
@@ -104,9 +112,16 @@ extern "C" {
 // h and w must be even (the Python wrapper falls back otherwise).
 void yuv420_to_rgb_u8(const uint8_t* y, const uint8_t* u, const uint8_t* v,
                       int h, int w, uint8_t* out) {
+  const int cw = w / 2;
+  const int ch = h / 2;
+  // shared horizontal chroma pass, once per source row
+  std::vector<int32_t> uh(static_cast<int64_t>(ch) * w);
+  std::vector<int32_t> vh(static_cast<int64_t>(ch) * w);
+  hpass_plane(u, ch, cw, w, uh.data());
+  hpass_plane(v, ch, cw, w, vh.data());
   const int nt = pick_threads(h);
   if (nt == 1) {
-    yuv_rows(y, u, v, h, w, 0, h, out);
+    yuv_rows(y, uh.data(), vh.data(), h, w, 0, h, out);
     return;
   }
   std::vector<std::thread> ts;
@@ -116,7 +131,7 @@ void yuv420_to_rgb_u8(const uint8_t* y, const uint8_t* u, const uint8_t* v,
     const int r0 = t * chunk;
     const int r1 = std::min(h, r0 + chunk);
     if (r0 >= r1) break;
-    ts.emplace_back(yuv_rows, y, u, v, h, w, r0, r1, out);
+    ts.emplace_back(yuv_rows, y, uh.data(), vh.data(), h, w, r0, r1, out);
   }
   for (auto& t : ts) t.join();
 }
