@@ -5,8 +5,22 @@ from mobilesuperresolution_tpu.parallel.mesh import (
     shard_batch,
 )
 from mobilesuperresolution_tpu.parallel.halo import spatially_sharded_apply
-from mobilesuperresolution_tpu.parallel.spatial_train import (
-    make_spatial_sisr_step,
-    spatial_sharded_forward,
-)
 from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+_LAZY = {
+    # spatial_train pulls in the whole train stack (optax, steps) — loaded
+    # on first use so `from ...parallel import make_mesh` stays lightweight
+    "make_spatial_sisr_step": "spatial_train",
+    "spatial_sharded_forward": "spatial_train",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(
+            f"mobilesuperresolution_tpu.parallel.{_LAZY[name]}"
+        )
+        return getattr(mod, name)
+    raise AttributeError(name)

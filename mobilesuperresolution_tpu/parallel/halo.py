@@ -65,11 +65,13 @@ def crop_concat(y, h, n, radius, scale=1):
 
 
 def _check_shardable(h, n, radius):
-    assert h % n == 0, f"H={h} not divisible by {n} shards"
+    # ValueError, not assert: under `python -O` a stripped assert would
+    # silently drop output rows instead of failing
+    if h % n != 0:
+        raise ValueError(f"H={h} not divisible by {n} shards")
     hs = h // n
-    assert hs >= 2 * radius or n == 1, (
-        f"shard height {hs} must be >= 2*radius={2 * radius}"
-    )
+    if hs < 2 * radius and n != 1:
+        raise ValueError(f"shard height {hs} must be >= 2*radius={2 * radius}")
 
 
 def spatially_sharded_apply(apply_fn, x, mesh, radius, scale=1, axis="spatial"):

@@ -23,9 +23,11 @@ def make_mesh(data=None, spatial=1, devices=None):
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
-        assert n % spatial == 0, (n, spatial)
+        if n % spatial != 0:
+            raise ValueError(f"{n} devices not divisible by spatial={spatial}")
         data = n // spatial
-    assert data * spatial == n, f"{data}x{spatial} != {n} devices"
+    if data * spatial != n:
+        raise ValueError(f"{data}x{spatial} != {n} devices")
     dev_array = np.asarray(devices).reshape(data, spatial)
     return Mesh(dev_array, axis_names=("data", "spatial"))
 

@@ -91,8 +91,8 @@ class TestNemoWalker:
         for i in range(60):
             (d / f"{i:04d}.raw").write_bytes(b"\x00")
         train = list_raw_windows(str(d), modes.TRAIN, image_batch=10)
-        # stride 25: starts 0, 25, 50 → 50+10 > 60 excluded → 0, 25
-        assert len(train) == 3 if (60 + 1 - 10) > 50 else 2
+        # stride 25: starts 0, 25, 50 — start 50 included since 50+10 <= 60
+        assert len(train) == 3
         ev = list_raw_windows(str(d), modes.EVAL, image_batch=10)
         assert len(ev) == 6  # stride == image_batch
 

@@ -204,20 +204,10 @@ def test_mv_flip_negates_displacements(tmp_path, rng):
     assert len(signs) > 1  # flips produced negated displacements
 
 
-def test_metrics_writer_jsonl(tmp_path):
-    """MetricsWriter appends parseable JSONL records (the reference's
-    SummaryWriter role, search.py:104-132); disabled writer is a no-op."""
-    import json
-
+def test_metrics_writer_disabled_is_noop():
+    """Disabled writer (job_dir=None) must not raise; JSONL content is
+    covered by test_metrics_writer."""
     from mobilesuperresolution_tpu.core.metrics_writer import MetricsWriter
-
-    w = MetricsWriter(str(tmp_path))
-    w.scalar("loss", 0.5, 1)
-    w.scalar("psnr", 30.25, 2)
-    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
-    recs = [json.loads(ln) for ln in lines]
-    assert [r["tag"] for r in recs] == ["loss", "psnr"]
-    assert recs[1]["value"] == 30.25 and recs[1]["step"] == 2
 
     w_off = MetricsWriter(None)
     w_off.scalar("loss", 1.0, 0)  # must not raise

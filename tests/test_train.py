@@ -210,6 +210,27 @@ def test_patch_eval_data_parallel_matches_single(eight_devices):
     np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
+def test_spatially_sharded_inference_matches_full(eight_devices):
+    """The exported inference API (parallel/halo.py::spatially_sharded_apply)
+    over a spatial=8 mesh must be numerically identical to the full-frame
+    forward, and reject non-shardable inputs with a real error."""
+    from mobilesuperresolution_tpu.parallel import make_mesh, spatially_sharded_apply
+    from mobilesuperresolution_tpu.parallel.halo import receptive_radius_wdsr
+
+    model = BasicModel(num_blocks=2, num_residual_units=8, scale=2)
+    radius = receptive_radius_wdsr(2)
+    rngs = np.random.default_rng(1)
+    x = jnp.asarray(rngs.random((2, 80, 16, 3)).astype(np.float32))
+    params = model.init(jax.random.key(0), x)["params"]
+    fn = lambda img: model.apply({"params": params}, img)
+    mesh = make_mesh(data=1, spatial=8)
+    got = spatially_sharded_apply(fn, x, mesh, radius=radius, scale=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(fn(x)), atol=1e-5)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        spatially_sharded_apply(fn, x[:, :79], mesh, radius=radius, scale=2)
+
+
 def test_spatial_sharded_training_matches_plain(eight_devices):
     """Spatially-sharded SISR training (parallel/spatial_train.py) over a
     (data=2, spatial=4) mesh: loss and post-step params must match the plain
