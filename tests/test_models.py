@@ -119,6 +119,11 @@ def test_naive_multi_from_artifact(tmp_path):
     params = m.init(jax.random.key(0), x)
     out = m.apply(params, x)
     assert out.shape == (1, 3, 48, 48, 3)
+    # scale != 4 must work too (the bilinear base was hardcoded to 4x once —
+    # the export CLI defaults to scale 2)
+    m2 = NaiveMultiModel.from_artifact(str(art), scale=2)
+    out2 = m2.apply(m2.init(jax.random.key(0), x), x)
+    assert out2.shape == (1, 3, 24, 24, 3)
 
 
 def test_result_net_shapes():
