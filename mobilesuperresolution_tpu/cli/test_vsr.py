@@ -50,10 +50,9 @@ def main(argv=None):
         if params.eval_model.endswith((".pt", ".pth")):
             # reference/mmedit-format torch checkpoint (loaded via the
             # ['params'] key like test_video_superresolution.py:249)
-            import torch
-
             from mobilesuperresolution_tpu.train.torch_convert import (
                 convert_basicvsr_origin_state_dict,
+                load_torch_checkpoint,
             )
 
             if params.model_type != "basic_origin":
@@ -62,7 +61,7 @@ def main(argv=None):
                     "basic_origin (the reference's only runnable recurrent "
                     "variant); export npz weights for other types"
                 )
-            sd = torch.load(params.eval_model, map_location="cpu")
+            sd = load_torch_checkpoint(params.eval_model)
             if "params" in sd and not any(k.startswith("spynet") for k in sd):
                 sd = sd["params"]
             converted, ckpt_blocks = convert_basicvsr_origin_state_dict(sd)

@@ -56,7 +56,11 @@ def add_vsr_args(parser):
                         "mmedit/reference .pth checkpoint (converted).")
     parser.add_argument("--chunk_frames", type=int, default=0,
                         help="Evaluate long clips in temporal windows of this "
-                        "many output frames (bounded memory; 0 = whole clip).")
+                        "many output frames (bounded memory; 0 = whole clip). "
+                        "Exact for 'single'; approximate for recurrent models "
+                        "(basic/basic_origin/multi) — propagation is truncated "
+                        "at window edges, controlled by --chunk_overlap, so "
+                        "PSNR can differ slightly from whole-clip eval.")
     parser.add_argument("--chunk_overlap", type=int, default=4,
                         help="Context frames on each side of a chunk window.")
     parser.add_argument("--chunk_data_parallel", action="store_true",
@@ -160,13 +164,12 @@ def main(argv=None):
         if params.spynet_weights.endswith((".pt", ".pth")):
             # mmedit/reference pretrained SpyNet checkpoint (loaded via the
             # ['params'] key, spynet_arch.py:40)
-            import torch
-
             from mobilesuperresolution_tpu.train.torch_convert import (
                 convert_spynet_state_dict,
+                load_torch_checkpoint,
             )
 
-            sd = torch.load(params.spynet_weights, map_location="cpu")
+            sd = load_torch_checkpoint(params.spynet_weights)
             if "params" in sd:
                 sd = sd["params"]
             prefix = "spynet." if any(k.startswith("spynet.") for k in sd) else ""

@@ -191,12 +191,15 @@ def batch_iterator(
 
     def worker():
         # dataset errors re-raise in the consumer — a silently swallowed
-        # exception here would look like a clean (truncated) end-of-epoch
+        # exception here would look like a clean (truncated) end-of-epoch.
+        # Exception (not BaseException): interpreter-level signals like
+        # KeyboardInterrupt must terminate the daemon thread, not masquerade
+        # as dataset errors sitting in the queue.
         try:
             for item in gen:
                 q.put(item)
             q.put(_END)
-        except BaseException as e:  # noqa: BLE001 — transported, not handled
+        except Exception as e:  # noqa: BLE001 — transported, not handled
             q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)

@@ -40,29 +40,56 @@ class CheckpointManager:
     def latest_epoch(self) -> Optional[int]:
         return self._mngr.latest_step()
 
+    def _has_extra(self, epoch: int) -> bool:
+        """Probe the saved item's top-level keys for 'extra' (metadata when
+        available, directory layout as fallback) so restore() does not need
+        the caller to know how the checkpoint was saved."""
+        try:
+            meta = self._mngr.item_metadata(epoch)
+            tree = getattr(meta, "item_metadata", meta)
+            keys = getattr(tree, "keys", None)
+            if callable(keys):
+                return "extra" in tree
+        except Exception:
+            pass
+        root = self._mngr.directory / str(epoch)
+        for item_dir in ("default", "state"):
+            d = root / item_dir / "extra"
+            if d.exists():
+                return True
+        return (root / "extra").exists()
+
     def restore(self, state, epoch: Optional[int] = None, extra_template=None):
         """Returns (state_with_restored_params_and_opt, epoch) or (state, 0)
         if nothing to restore.
 
         extra_template: pass the same-structured dict that was given to
-        ``save(extra=...)`` to get it back via ``self.last_extra``; the
-        template must match whether the checkpoint was saved with extra
-        (orbax restores by tree structure)."""
+        ``save(extra=...)`` to get it back via ``self.last_extra``. Whether
+        the checkpoint actually contains 'extra' is probed from the stored
+        item metadata, so restoring an extra-bearing checkpoint without a
+        template (or vice versa) degrades gracefully instead of failing on
+        orbax tree-structure mismatch."""
         target_epoch = epoch if epoch is not None else self._mngr.latest_step()
         self.last_extra = None
         if target_epoch is None:
             return state, 0
-        template = {
-            "params": jax.device_get(state.params),
-            "opt_state": jax.device_get(state.opt_state),
-            "step": 0,
-            "epoch": 0,
-        }
-        if extra_template is not None:
-            template["extra"] = jax.device_get(extra_template)
-        restored = self._mngr.restore(
-            target_epoch, args=ocp.args.StandardRestore(template)
-        )
+        has_extra = self._has_extra(target_epoch)
+        if has_extra and extra_template is None:
+            # orbax StandardRestore has no partial restore — recover the
+            # as-saved tree and pick the pieces out.
+            restored = self._mngr.restore(target_epoch)
+        else:
+            template = {
+                "params": jax.device_get(state.params),
+                "opt_state": jax.device_get(state.opt_state),
+                "step": 0,
+                "epoch": 0,
+            }
+            if extra_template is not None and has_extra:
+                template["extra"] = jax.device_get(extra_template)
+            restored = self._mngr.restore(
+                target_epoch, args=ocp.args.StandardRestore(template)
+            )
         self.last_extra = restored.get("extra")
         state = state.replace(
             params=restored["params"],

@@ -14,6 +14,24 @@ forwards — the strongest architecture-parity check available without data.
 import numpy as np
 
 
+def load_torch_checkpoint(path):
+    """torch.load with version-independent pickling behavior.
+
+    torch>=2.6 flips the ``weights_only`` default to True, which refuses
+    mmedit-style checkpoints that pickle non-tensor objects (meta/config
+    entries). Try the safe mode first; fall back to a full unpickle for
+    user-supplied local checkpoints (the reference loads them fully)."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        try:
+            return torch.load(path, map_location="cpu", weights_only=False)
+        except TypeError:  # torch too old to know weights_only at all
+            return torch.load(path, map_location="cpu")
+
+
 def _conv(entry_v, entry_g, entry_b):
     return {
         "v": np.transpose(np.asarray(entry_v), (2, 3, 1, 0)),
@@ -59,9 +77,7 @@ def convert_wdsr_basic_state_dict(state_dict):
 def load_reference_wdsr(path):
     """Load a reference .pt checkpoint (requires torch) → (params, num_blocks,
     num_residual_units)."""
-    import torch
-
-    sd = torch.load(path, map_location="cpu")
+    sd = load_torch_checkpoint(path)
     params, num_blocks = convert_wdsr_basic_state_dict(sd)
     units = sd["head.weight_v"].shape[0]
     return params, num_blocks, int(units)

@@ -289,6 +289,39 @@ class TestSchedulesAndCheckpointExtras:
         assert epoch == 1
         assert int(ckpt.last_extra["scheduler_epoch"]) == 7
 
+    def test_checkpoint_extra_mismatch_graceful(self, tmp_path):
+        """restore() probes the stored item for 'extra' — a template/checkpoint
+        mismatch in either direction must degrade gracefully, not fail on
+        orbax tree-structure mismatch (ADVICE r1)."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from mobilesuperresolution_tpu.models import BasicModel
+        from mobilesuperresolution_tpu.train.checkpoint import CheckpointManager
+        from mobilesuperresolution_tpu.train.state import create_train_state
+
+        m = BasicModel(num_blocks=1, num_residual_units=8, scale=2)
+        s = create_train_state(
+            m, jax.random.key(0), jnp.zeros((1, 8, 8, 3)), optax.sgd(1e-3)
+        )
+        # saved WITHOUT extra, restored WITH a template: template is dropped
+        ckpt = CheckpointManager(str(tmp_path / "a"))
+        ckpt.save(1, s)
+        s2, epoch = ckpt.restore(s, extra_template={"scheduler_epoch": 0})
+        assert epoch == 1 and ckpt.last_extra is None
+        # saved WITH extra, restored WITHOUT a template: still recovered
+        # (untemplated as-saved restore path)
+        ckpt2 = CheckpointManager(str(tmp_path / "b"))
+        ckpt2.save(2, s, extra={"scheduler_epoch": 5})
+        s3, epoch = ckpt2.restore(s)
+        assert epoch == 2
+        assert int(ckpt2.last_extra["scheduler_epoch"]) == 5
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(s3.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(s.params)[0]),
+        )
+
     def test_speed_predictor_small_epochs(self):
         """epochs < 4 must not crash the LR schedule (transition_steps 0)."""
         from mobilesuperresolution_tpu.nas.speed_model import train_speed_predictor
