@@ -27,6 +27,17 @@ def base_parser(description):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (MXU-native).")
     parser.add_argument("--save_eval_images", action="store_true")
+    # multi-host runtime (the reference's --distributed + NCCL env:// init,
+    # pretrain.py:153-159; here jax.distributed over ICI/DCN)
+    parser.add_argument("--distributed", action="store_true",
+                        help="Join a multi-host job with auto-detected "
+                        "topology (TPU pod slices; jax.distributed.initialize"
+                        " with no args).")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 for explicit rendezvous "
+                        "(with --num_processes/--process_id).")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     return parser
 
 
@@ -41,6 +52,13 @@ def parse_with_plugins(parser, argv=None, with_models=True):
     params = parser.parse_args(argv)
     if params.debug:
         params.epochs = 1
+    # Join the multi-host job BEFORE any backend touch (mesh creation, data
+    # sharding) so jax.devices() is already the global list everywhere.
+    from mobilesuperresolution_tpu.parallel.distributed import (
+        initialize_from_params,
+    )
+
+    initialize_from_params(params)
     os.makedirs(params.job_dir, exist_ok=True)
     return params, dataset_module
 

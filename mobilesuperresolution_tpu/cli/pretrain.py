@@ -35,7 +35,12 @@ from mobilesuperresolution_tpu.train.steps import make_sisr_step
 
 
 def run_evaluation(params, state, model, eval_mods, logging, epoch):
-    fwd = jax.jit(lambda lr_img: model.apply({"params": state.params}, lr_img))
+    p = state.params
+    if jax.process_count() > 1:
+        # params are replicated over the global mesh; take a local host copy
+        # so the chief's eval jit stays a purely local computation
+        p = jax.device_get(p)
+    fwd = jax.jit(lambda lr_img: model.apply({"params": p}, lr_img))
     results = {}
     for name, mod in eval_mods:
         ds = mod.get_dataset(modes.EVAL, params)
@@ -78,7 +83,11 @@ def main(argv=None):
     steps_per_epoch = (
         max(len(train_ds) // params.train_batch_size, 1) if train_ds else 1
     )
-    tx = multistep_adam(params.learning_rate, steps_per_epoch, params.epochs)
+    # linear LR scaling by world size (pretrain.py:216-217): the global batch
+    # is train_batch_size × process_count (per-host loading)
+    tx = multistep_adam(
+        params.learning_rate * jax.process_count(), steps_per_epoch, params.epochs
+    )
     sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
     state = create_train_state(model, jax.random.key(params.seed), sample, tx)
 
@@ -133,11 +142,17 @@ def main(argv=None):
                 + loss_printer({k: v for k, v in metrics.items()})
             )
             writer.scalar("training_loss_smooth", meter.avg, epoch)
-            results = run_evaluation(params, state, model, eval_mods, logging, epoch)
-            for name, vals in results.items():
-                writer.scalars(vals, epoch, prefix=f"{name}/")
-            ckpt.save(epoch, state)
-            save_params_npz(params.job_dir, state.params)
+            if jax.process_index() == 0:
+                # rank-0 eval, matching the reference (params are replicated,
+                # so the chief evaluates on its local devices only)
+                results = run_evaluation(
+                    params, state, model, eval_mods, logging, epoch
+                )
+                for name, vals in results.items():
+                    writer.scalars(vals, epoch, prefix=f"{name}/")
+            ckpt.save(epoch, state)  # all processes: orbax coordinates
+            if jax.process_index() == 0:
+                save_params_npz(params.job_dir, state.params)
     writer.flush()
     logging.info("Finish Training")
 

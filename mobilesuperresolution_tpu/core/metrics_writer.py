@@ -14,7 +14,13 @@ import time
 
 class MetricsWriter:
     def __init__(self, job_dir, enabled=True):
-        self.enabled = enabled and job_dir is not None
+        try:
+            import jax
+
+            chief = jax.process_index() == 0
+        except Exception:
+            chief = True
+        self.enabled = enabled and job_dir is not None and chief
         self._tb = None
         if not self.enabled:
             return

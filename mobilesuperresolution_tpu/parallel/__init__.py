@@ -6,6 +6,10 @@ from mobilesuperresolution_tpu.parallel.mesh import (
 )
 from mobilesuperresolution_tpu.parallel.halo import spatially_sharded_apply
 from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+from mobilesuperresolution_tpu.parallel.distributed import (
+    initialize_from_params,
+    is_primary,
+)
 
 _LAZY = {
     # spatial_train pulls in the whole train stack (optax, steps) — loaded

@@ -43,7 +43,21 @@ def replicated_sharding(mesh):
 
 def shard_batch(mesh, batch):
     """Place a pytree of host arrays with the leading dim sharded over
-    'data'."""
+    'data'.
+
+    Single-process: a plain sharded device_put. Multi-process (after
+    ``parallel.distributed.initialize``): each host passes only ITS slice of
+    the global batch (the per-host loading that replaces DistributedSampler,
+    data/isr.py ``shard_by_process``) and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — the global batch dim is
+    local_batch × process_count."""
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                data_sharding(mesh, np.ndim(x)), np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
     )

@@ -59,3 +59,59 @@ def test_ssim_bounds(pair):
     assert 0.0 < v <= 1.0
     same = np.around(hr[0] * 255) / 255
     assert ssim_np(same, same) > 0.9999
+
+
+class TestIndependentGoldens:
+    """Checked-in goldens from tests/golden/make_metric_goldens.py — an
+    independent float64 torch implementation following skimage's exact
+    structural_similarity code path (scipy-style gaussian kernel, crop(pad),
+    cov_norm=NP/(NP-1), explicit data_range=1.0) and the reference's literal
+    psnr/psnr_y torch code (common/metrics.py:10-38). A silent recipe
+    mismatch in metrics/metrics.py (filter mode, cov_norm, data_range,
+    quantization order) fails here even though skimage isn't installed."""
+
+    @pytest.fixture(scope="class")
+    def goldens(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "golden", "metric_goldens.npz")
+        return dict(np.load(path))
+
+    @pytest.fixture(scope="class")
+    def pairs(self):
+        import sys, os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+        try:
+            from make_metric_goldens import make_pairs
+        finally:
+            sys.path.pop(0)
+        return make_pairs()
+
+    def test_ssim_np_matches_goldens(self, goldens, pairs):
+        for name, (sr, hr) in pairs.items():
+            for shave in (4, 8):
+                got = ssim_np(sr, hr, shave=shave)
+                want = float(goldens[f"{name}_ssim_s{shave}"])
+                assert abs(got - want) < 1e-9, (name, shave, got, want)
+
+    def test_ssim_jnp_matches_goldens(self, goldens, pairs):
+        for name, (sr, hr) in pairs.items():
+            for shave in (4, 8):
+                got = float(ssim(sr, hr, shave=shave))
+                want = float(goldens[f"{name}_ssim_s{shave}"])
+                assert abs(got - want) < 3e-5, (name, shave, got, want)
+
+    def test_psnr_matches_goldens(self, goldens, pairs):
+        for name, (sr, hr) in pairs.items():
+            for shave in (4, 8):
+                got = float(psnr(sr[None], hr[None], shave=shave))
+                want = float(goldens[f"{name}_psnr_s{shave}"])
+                assert abs(got - want) < 2e-3, (name, shave, got, want)
+
+    def test_psnr_y_matches_goldens(self, goldens, pairs):
+        for name, (sr, hr) in pairs.items():
+            for shave in (4, 8):
+                got = float(psnr_y(sr[None], hr[None], shave=shave))
+                want = float(goldens[f"{name}_psnr_y_s{shave}"])
+                assert abs(got - want) < 2e-3, (name, shave, got, want)
