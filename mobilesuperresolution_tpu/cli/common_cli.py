@@ -27,6 +27,13 @@ def base_parser(description):
     parser.add_argument("--bf16", action="store_true",
                         help="bfloat16 compute (MXU-native).")
     parser.add_argument("--save_eval_images", action="store_true")
+    parser.add_argument("--eval_tile", type=int, default=0,
+                        help="Evaluate through fixed-shape overlap tiles of "
+                        "this size (exact: overlap >= receptive radius) so a "
+                        "mixed-shape eval set (e.g. Urban100, ~100 distinct "
+                        "shapes) compiles O(1) programs instead of one per "
+                        "shape. 0 = per-shape jit. Images smaller than the "
+                        "tile run at native shape.")
     # multi-host runtime (the reference's --distributed + NCCL env:// init,
     # pretrain.py:153-159; here jax.distributed over ICI/DCN)
     parser.add_argument("--distributed", action="store_true",

@@ -41,6 +41,16 @@ def run_evaluation(params, state, model, eval_mods, logging, epoch):
         # so the chief's eval jit stays a purely local computation
         p = jax.device_get(p)
     fwd = jax.jit(lambda lr_img: model.apply({"params": p}, lr_img))
+    if getattr(params, "eval_tile", 0):
+        from mobilesuperresolution_tpu.parallel.halo import receptive_radius_wdsr
+        from mobilesuperresolution_tpu.train.eval_tiling import make_tiled_forward
+
+        # conservative radius: per-block kernel up to 7 for the NAS/searched
+        # families, 3 for plain WDSR; +2 covers the 5x5 skip path. Over-
+        # estimating the radius never breaks exactness, only efficiency.
+        k = 3 if getattr(params, "model_type", "") == "BASIC_MODEL" else 7
+        radius = receptive_radius_wdsr(params.num_blocks, block_kernel=k) + 2
+        fwd = make_tiled_forward(fwd, params.scale, radius, tile=params.eval_tile)
     results = {}
     for name, mod in eval_mods:
         ds = mod.get_dataset(modes.EVAL, params)

@@ -1,0 +1,83 @@
+"""Shape-robust eval: exact tiled inference with O(1) compiled programs.
+
+The per-shape retrace problem: a jitted forward recompiles per distinct eval
+image shape, and on backends with ~30-50 s compiles an Urban100 pass (~100
+distinct shapes, reference: utils/estimate.py:23-133) costs hours of
+compilation. Zero-pad-and-mask cannot fix this exactly — after one conv
+layer, the model's own SAME-pad rows diverge from explicitly padded rows
+(bias/mean-shift), contaminating the valid region.
+
+The exact fix is the principled version of the reference's overlap patch
+tiling (test_video_superresolution_by_patch.py:165-226): cover the image
+with fixed-shape tiles whose overlap is at least the model's receptive-field
+radius, keep only each tile's uncontaminated interior, and anchor edge tiles
+to the true image border so the model's own SAME zero padding reproduces the
+full-frame boundary math bit-for-bit (same trick as
+parallel/halo.shard_offsets). One tile shape = ONE compiled program for the
+whole mixed-shape dataset; images smaller than the tile fall back to their
+native shape (small images are cheap to compile).
+
+Exactness requires ``radius`` ≥ the model's true receptive radius
+(parallel.halo.receptive_radius_wdsr for the WDSR family).
+"""
+
+import numpy as np
+
+
+def tile_starts(n, tile, stride):
+    """Start offsets covering [0, n) with a final tile anchored at the end."""
+    starts = list(range(0, n - tile + 1, stride))
+    if starts[-1] != n - tile:
+        starts.append(n - tile)
+    return starts
+
+
+def make_tiled_forward(fwd, scale, radius, tile=128):
+    """Wrap ``fwd(lr) -> sr`` ((B,H,W,C) -> (B,sH,sW,C)) into an exact tiled
+    forward. Returns a callable with a ``.shapes_used`` set recording every
+    distinct spatial shape handed to ``fwd`` (== number of traces a jitted
+    fwd compiles)."""
+    stride = tile - 2 * radius
+    if stride <= 0:
+        raise ValueError(f"tile {tile} too small for radius {radius}")
+
+    shapes_used = set()
+
+    def tiled(lr):
+        lr = np.asarray(lr)
+        b, h, w = lr.shape[:3]
+        if h < tile or w < tile:
+            shapes_used.add((h, w))
+            return fwd(lr)
+        ys = tile_starts(h, tile, stride)
+        xs = tile_starts(w, tile, stride)
+        shapes_used.add((tile, tile))
+        out = None
+        for y in ys:
+            for x in xs:
+                sr_tile = fwd(lr[:, y : y + tile, x : x + tile])
+                if isinstance(sr_tile, tuple):  # NAS models: (sr, speed)
+                    sr_tile = sr_tile[0]
+                sr_tile = np.asarray(sr_tile)
+                if out is None:
+                    out = np.zeros(
+                        (b, h * scale, w * scale, sr_tile.shape[-1]),
+                        sr_tile.dtype,
+                    )
+                # uncontaminated interior; extended to the image edge where
+                # the tile is anchored on the true border
+                vy0 = y if y == 0 else y + radius
+                vy1 = y + tile if y + tile == h else y + tile - radius
+                vx0 = x if x == 0 else x + radius
+                vx1 = x + tile if x + tile == w else x + tile - radius
+                out[:, vy0 * scale : vy1 * scale, vx0 * scale : vx1 * scale] = (
+                    sr_tile[
+                        :,
+                        (vy0 - y) * scale : (vy1 - y) * scale,
+                        (vx0 - x) * scale : (vx1 - x) * scale,
+                    ]
+                )
+        return out
+
+    tiled.shapes_used = shapes_used
+    return tiled
