@@ -33,6 +33,10 @@ def update_argparser(parser):
     parser.add_argument("--num_data_threads", type=int, default=8)
     parser.add_argument("--data_dir", type=str, default="data")
     parser.add_argument("--cache_dir", type=str, default="data/cache")
+    parser.add_argument("--cache_compress", type=int, default=1,
+                        help="1 = zlib-compress new cache entries (the "
+                        "reference's LZF/blosc HDF5 role); 0 = raw .npy "
+                        "with mmap reads. Reads accept both forms.")
 
 
 def get_dataset_module(name):

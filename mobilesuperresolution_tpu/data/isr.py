@@ -59,12 +59,17 @@ class ImageSRDataset:
         self.params = params
         self.lr_files = lr_files  # [(name, path), ...]
         self.hr_files = hr_files
-        self.cache = ArrayCache(cache_dir) if cache_dir else None
+        self.cache = (
+            ArrayCache(cache_dir, compress=bool(getattr(params, "cache_compress", 1)))
+            if cache_dir
+            else None
+        )
         self.rng = np.random.default_rng(getattr(params, "seed", 0))
         if self.cache is not None:
             for name, path in list(lr_files) + list(hr_files):
                 if name not in self.cache:
                     self.cache.add(name, load_image(path))
+            self.cache.log_build_stats(f"{type(self).__name__} cache")
 
     def _load(self, files, index):
         name, path = files[index]

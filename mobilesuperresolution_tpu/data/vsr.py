@@ -61,7 +61,11 @@ class VideoSRDataset:
         self.params = params
         self.lr_windows = lr_windows
         self.hr_windows = hr_windows
-        self.cache = ArrayCache(cache_dir) if cache_dir else None
+        self.cache = (
+            ArrayCache(cache_dir, compress=bool(getattr(params, "cache_compress", 1)))
+            if cache_dir
+            else None
+        )
         self.rng = np.random.default_rng(getattr(params, "seed", 0))
 
     def prepare_cache(self):
@@ -71,6 +75,7 @@ class VideoSRDataset:
             for key, path in window:
                 if path is not None and key not in self.cache:
                     self.cache.add(key, load_image(path))
+        self.cache.log_build_stats(f"{type(self).__name__} cache")
 
     def _load_frame(self, key, path):
         if self.cache is not None and key in self.cache:

@@ -262,3 +262,57 @@ class TestDataHardening:
         w = [[("a/0.png", None)], [("a/1.png", None)]]
         with pytest.raises(ValueError, match="mismatch"):
             _vsr.VideoSRDataset(modes.TRAIN, p, w, w[:1])
+
+
+class TestArrayCacheCompression:
+    """Transparent zlib compression (the reference's LZF/blosc HDF5 role,
+    common/io.py:15-42): compressed round-trip, mixed raw/compressed reads,
+    and a real <50%-of-raw ratio on natural-ish images."""
+
+    def _natural(self, rng, h=256, w=256):
+        # smooth field + mild texture + noise, uint8 RGB — compresses like a
+        # photograph, not like random bytes
+        yy, xx = np.mgrid[0:h, 0:w] / 64.0
+        base = 0.5 + 0.3 * np.sin(xx) * np.cos(yy)
+        img = np.stack([base, base * 0.9, base**1.3], -1)
+        img = img + 0.004 * rng.standard_normal(img.shape)  # ~±1 level, photo-like
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    def test_roundtrip_and_ratio(self, tmp_path, rng):
+        from mobilesuperresolution_tpu.data.io_cache import ArrayCache
+
+        cache = ArrayCache(str(tmp_path), compress=True)
+        imgs = {f"k{i}": self._natural(rng) for i in range(3)}
+        for k, v in imgs.items():
+            cache.add(k, v)
+        for k, v in imgs.items():
+            np.testing.assert_array_equal(np.asarray(cache.get(k)), v)
+        assert cache.ratio() < 0.5, cache.ratio()
+
+    def test_mixed_forms_read_back(self, tmp_path, rng):
+        from mobilesuperresolution_tpu.data.io_cache import ArrayCache
+
+        raw = ArrayCache(str(tmp_path), compress=False)
+        a = self._natural(rng, 32, 32)
+        raw.add("a", a)
+        # a compressed-mode cache over the same dir reads the raw entry
+        # (mmap fast path) and adds new entries compressed
+        mixed = ArrayCache(str(tmp_path), compress=True)
+        assert "a" in mixed
+        got = mixed.get("a")
+        assert isinstance(got, np.memmap)  # raw entries keep zero-copy reads
+        np.testing.assert_array_equal(np.asarray(got), a)
+        b = self._natural(rng, 32, 32)
+        mixed.add("b", b)
+        assert (tmp_path / "b.npz").exists() and not (tmp_path / "b.npy").exists()
+        np.testing.assert_array_equal(np.asarray(raw.get("b")), b)
+
+    def test_add_is_idempotent(self, tmp_path, rng):
+        from mobilesuperresolution_tpu.data.io_cache import ArrayCache
+
+        cache = ArrayCache(str(tmp_path), compress=True)
+        a = self._natural(rng, 16, 16)
+        cache.add("a", a)
+        cache.add("a", np.zeros_like(a))  # ignored: key exists
+        np.testing.assert_array_equal(np.asarray(cache.get("a")), a)
+        assert cache.added == 1

@@ -275,3 +275,66 @@ def test_patch_cli_rejects_chunk_flags(tmp_path):
             ["--job_dir", str(tmp_path / "p"), "--dataset", "synthetic_vsr",
              "--chunk_frames", "2"]
         )
+
+
+def test_search_with_mobile_speed_table(tmp_path):
+    """The paper's point: searching against a MOBILE latency target. The
+    packaged huawei_p30 CPU table (copied from the reference's measured
+    benchmark data, speed_models/speed_data/huawei_p30/cpu.npy, schema
+    data_generate_from_txt.py:83) drives a real search end-to-end:
+    ori_speed comes from the mobile table (2 x 21.02 ms at k=7 ch8 -> NOT
+    the v5e table's sub-ms values), the annealing target scales from it,
+    and the block_index.txt artifact is written."""
+    import numpy as np
+
+    from mobilesuperresolution_tpu.nas.speed_estimator import (
+        KERNEL_CHOICES,
+        densify_speed_table,
+        packaged_table_path,
+    )
+
+    path = packaged_table_path("huawei_p30_cpu")
+    assert path is not None
+    rows = np.load(path)
+    assert rows.shape == (108, 4)
+    dense = densify_speed_table(rows, max_ch=8)
+    # mobile latencies are k-ordered and in the tens-of-ms regime at k=7
+    k3, k5, k7 = (dense[KERNEL_CHOICES.index(k), 8, 8] for k in (3, 5, 7))
+    assert 0 < k3 < k5 < k7
+    assert k7 > 5.0  # v5e-measured blocks are sub-ms: this must be mobile
+
+    job = tmp_path / "mobile_search"
+    search_cli.main(
+        [
+            "--job_dir", str(job),
+            "--dataset", "synthetic_isr",
+            "--eval_datasets",
+            "--num_blocks", "2",
+            "--num_residual_units", "8",
+            "--scale", "2",
+            "--width_search",
+            "--speed_table", "huawei_p30_cpu",
+            "--speed_target", "10",
+            "--width_epochs", "1",
+            "--epochs", "1",
+            "--kernel_epochs", "1",
+            "--train_batch_size", "8",
+            "--lr_patch_size", "16",
+            "--num_patches", "2",
+            "--log_steps", "1",
+        ]
+    )
+    log = (job / "result.log").read_text()
+    assert "huawei_p30_cpu" in log
+    # supernet baseline = 2 blocks x mobile k=7 latency, annealed toward 10ms
+    import re
+
+    m = re.search(r"Supernet Speed: ([0-9.]+) ms; target ([0-9.]+)", log)
+    assert m, log
+    ori = float(m.group(1))
+    assert abs(ori - 2 * float(k7)) < 1e-2, (ori, k7)
+    assert float(m.group(2)) == 10.0
+    assert (job / "block_index.txt").exists()
+    # per-epoch annealing targets decay from ori toward the target
+    targets = [float(x) for x in re.findall(r"speed target: ([0-9.]+) ms", log)]
+    assert targets and all(t <= ori + 1e-6 for t in targets)
