@@ -170,6 +170,23 @@ def main(argv=None):
     sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
     variables = jax.jit(model.init)(jax.random.key(params.seed), sample)
     base_params = variables["params"]
+    if params.pretrained:
+        # shape-greedy pretrained transfer into the supernet
+        # (wdsr_b.py:104-105,235-250): head/tail/skip land; the split-branch
+        # block shapes never match WDSR-B's and stay at init
+        from mobilesuperresolution_tpu.train.torch_convert import (
+            load_pretrained_supernet,
+            load_torch_checkpoint,
+        )
+
+        if not params.pretrained_path:
+            raise SystemExit("--pretrained requires --pretrained_path <wdsr .pt>")
+        sd = load_torch_checkpoint(params.pretrained_path)
+        base_params, n_copied = load_pretrained_supernet(base_params, sd)
+        logging.info(
+            f"pretrained transfer from {params.pretrained_path}: "
+            f"{n_copied} tensors copied"
+        )
     eval_mods = eval_modules(params)
     ckpt = CheckpointManager(params.job_dir)
     writer = MetricsWriter(params.job_dir)

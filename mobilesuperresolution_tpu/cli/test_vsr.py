@@ -49,26 +49,46 @@ def main(argv=None):
     if params.eval_model:
         if params.eval_model.endswith((".pt", ".pth")):
             # reference/mmedit-format torch checkpoint (loaded via the
-            # ['params'] key like test_video_superresolution.py:249)
-            from mobilesuperresolution_tpu.train.torch_convert import (
-                convert_basicvsr_origin_state_dict,
-                load_torch_checkpoint,
-            )
+            # ['params'] key like test_video_superresolution.py:249),
+            # converted per model family (train/torch_convert)
+            from mobilesuperresolution_tpu.train import torch_convert as tc
 
-            if params.model_type != "basic_origin":
-                raise ValueError(
-                    "torch checkpoint conversion is implemented for "
-                    "basic_origin (the reference's only runnable recurrent "
-                    "variant); export npz weights for other types"
-                )
-            sd = load_torch_checkpoint(params.eval_model)
+            sd = load_torch_checkpoint_any = tc.load_torch_checkpoint(
+                params.eval_model
+            )
             if "params" in sd and not any(k.startswith("spynet") for k in sd):
                 sd = sd["params"]
-            converted, ckpt_blocks = convert_basicvsr_origin_state_dict(sd)
-            if ckpt_blocks != model.num_block:
+            if params.model_type == "basic_origin":
+                converted, ckpt_blocks = tc.convert_basicvsr_origin_state_dict(sd)
+                if ckpt_blocks != model.num_block:
+                    raise ValueError(
+                        f"checkpoint has {ckpt_blocks} trunk blocks but "
+                        f"basic_origin expects {model.num_block}"
+                    )
+            elif params.model_type == "single":
+                converted, ckpt_blocks, ckpt_ch = tc.convert_single_image_state_dict(sd)
+                if (ckpt_blocks, ckpt_ch) != (model.blocks, model.channel):
+                    raise ValueError(
+                        f"checkpoint is a {ckpt_blocks}-block/{ckpt_ch}-ch "
+                        f"'single' model; got --num_blocks {model.blocks} "
+                        f"channel {model.channel}"
+                    )
+            elif params.model_type == "multi":
+                converted, _ = tc.convert_naive_multi_state_dict(sd)
+            elif params.model_type == "basic_mv":
+                converted, ckpt_blocks = tc.convert_mvvsr_state_dict(sd)
+                if ckpt_blocks != model.num_block:
+                    raise ValueError(
+                        f"checkpoint has {ckpt_blocks} trunk blocks but "
+                        f"basic_mv expects {model.num_block}"
+                    )
+            else:
                 raise ValueError(
-                    f"checkpoint has {ckpt_blocks} trunk blocks but "
-                    f"basic_origin expects {model.num_block}"
+                    f"torch checkpoint conversion is not available for "
+                    f"{params.model_type!r} (the reference's mobile 'basic' "
+                    "variant cannot run in the reference itself — its "
+                    "conv_last shape is broadcast-impossible, see "
+                    "models/basicvsr.py:19-23); export npz weights instead"
                 )
             state = state.replace(params=converted)
         else:

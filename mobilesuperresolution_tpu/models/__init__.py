@@ -31,7 +31,14 @@ def update_argparser(parser):
     parser.add_argument("--num_blocks", default=16, type=int)
     parser.add_argument("--num_residual_units", default=24, type=int)
     parser.add_argument("--width_search", action="store_true")
-    parser.add_argument("--pretrained", action="store_true")
+    parser.add_argument("--pretrained", action="store_true",
+                        help="Shape-greedy transfer from a pretrained "
+                        "WDSR-B checkpoint into the supernet "
+                        "(wdsr_b.py:104-105,235-250); needs "
+                        "--pretrained_path.")
+    parser.add_argument("--pretrained_path", type=str, default=None,
+                        help="Reference wdsr_b_x<scale>_<blocks>_<units>"
+                        ".pt checkpoint for --pretrained.")
     parser.set_defaults(image_mean=0.5, num_channels=3)
 
 
