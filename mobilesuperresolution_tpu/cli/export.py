@@ -12,7 +12,11 @@ import argparse
 import jax
 import jax.numpy as jnp
 
-from mobilesuperresolution_tpu.export import export_stablehlo, export_tflite
+from mobilesuperresolution_tpu.export import (
+    export_onnx,
+    export_stablehlo,
+    export_tflite,
+)
 from mobilesuperresolution_tpu.models.result_net import ResultNet
 from mobilesuperresolution_tpu.train.checkpoint import load_params_npz
 
@@ -33,7 +37,7 @@ def main(argv=None):
     parser.add_argument("--out", type=str, required=True)
     parser.add_argument("--params", type=str, default=None)
     parser.add_argument(
-        "--format", nargs="+", default=["stablehlo"], choices=["stablehlo", "tflite"]
+        "--format", nargs="+", default=["stablehlo"], choices=["stablehlo", "tflite", "onnx"]
     )
     parser.add_argument("--quantize", action="store_true",
                         help="int8 dynamic-range quantization for tflite.")
@@ -75,6 +79,8 @@ def main(argv=None):
     for fmt in args.format:
         if fmt == "stablehlo":
             p = export_stablehlo(apply_fn, params, shape, args.out + ".stablehlo")
+        elif fmt == "onnx":
+            p = export_onnx(apply_fn, params, shape, args.out + ".onnx")
         else:
             p = export_tflite(
                 apply_fn, params, shape, args.out + ".tflite", quantize=args.quantize

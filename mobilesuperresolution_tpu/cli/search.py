@@ -286,7 +286,10 @@ def main(argv=None):
                         p = jax.device_get(state.params)
                         remain_idx = get_block_status(p)
                         remain_width = get_width_from_block_idx(p, remain_idx)
-                        append_block_index(params.job_dir, remain_idx, remain_width)
+                        if jax.process_index() == 0:  # chief-only artifact
+                            append_block_index(
+                                params.job_dir, remain_idx, remain_width
+                            )
                         logging.info(
                             f"[{phase} e{epoch} b{bidx}] loss={float(metrics['loss']):.4e} "
                             f"l1={float(metrics['l1']):.4e} "
@@ -303,16 +306,19 @@ def main(argv=None):
                     f"[{phase}] epoch {epoch}: loss={meter.avg:.4e} "
                     f"({time.time() - t0:.1f}s)"
                 )
-                run_evaluation(params, state, model, eval_mods, logging, epoch)
-                ckpt.save(epoch, state)
-                save_params_npz(params.job_dir, state.params)
+                if jax.process_index() == 0:
+                    run_evaluation(params, state, model, eval_mods, logging, epoch)
+                ckpt.save(epoch, state)  # all processes: orbax coordinates
+                if jax.process_index() == 0:
+                    save_params_npz(params.job_dir, state.params)
         base_params = state.params
 
     # final architecture line
     p = jax.device_get(base_params)
     remain_idx = get_block_status(p)
     remain_width = get_width_from_block_idx(p, remain_idx)
-    append_block_index(params.job_dir, remain_idx, remain_width)
+    if jax.process_index() == 0:
+        append_block_index(params.job_dir, remain_idx, remain_width)
     logging.info(
         f"final arch: {get_current_blocks(p)} blocks, widths={remain_width}"
     )

@@ -73,6 +73,11 @@ def add_vsr_args(parser):
 
 def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
     results = {}
+    eval_params = state.params
+    if jax.process_count() > 1:
+        # params are replicated over the global mesh; the chief evaluates on
+        # a local host copy so its jit stays a purely local computation
+        eval_params = jax.device_get(eval_params)
     # ONE jitted forward shared across batches/datasets — a fresh jit wrapper
     # per batch would recompile the recurrent model for every clip.
     jitted = jax.jit(
@@ -81,7 +86,7 @@ def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
     )
 
     def base_fwd(lr_clip, oh, ow):
-        return jitted(state.params, lr_clip, oh, ow)
+        return jitted(eval_params, lr_clip, oh, ow)
 
     if getattr(params, "chunk_frames", 0):
         from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
@@ -215,10 +220,11 @@ def main(argv=None):
                 f"epoch {epoch}: charbonnier={meter.avg:.4e} "
                 f"({meter.count} steps, {time.time() - t0:.1f}s)"
             )
-            if eval_mods:
+            if eval_mods and jax.process_index() == 0:
                 run_vsr_evaluation(params, state, model, eval_mods, logging, epoch)
-            ckpt.save(epoch, state)
-            save_params_npz(params.job_dir, state.params)
+            ckpt.save(epoch, state)  # all processes: orbax coordinates
+            if jax.process_index() == 0:
+                save_params_npz(params.job_dir, state.params)
     logging.info("Finish Training")
 
 

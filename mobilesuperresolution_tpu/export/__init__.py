@@ -1,4 +1,5 @@
 from mobilesuperresolution_tpu.export.export import (
+    export_onnx,
     export_stablehlo,
     export_tflite,
 )

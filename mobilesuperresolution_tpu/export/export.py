@@ -61,3 +61,41 @@ def export_tflite(apply_fn, params, input_shape, path, quantize=False):
     with open(path, "wb") as f:
         f.write(blob)
     return path
+
+
+def export_onnx(apply_fn, params, input_shape, path, opset=13):
+    """Convert the forward to an ONNX model (the reference's interchange
+    artifact class — export_onnx.py:117-141 exports opset 9 for external
+    consumers; opset 13 is the oldest release tf2onnx fully supports for
+    the jax2tf-emitted graph).
+
+    Path: jax2tf → tf.function → tf2onnx. Gated like TFLite: raises a clear
+    RuntimeError naming the missing tool when tensorflow or tf2onnx is not
+    installed (neither is baked into the TPU image; install tf2onnx in the
+    deployment toolchain environment to use this)."""
+    try:
+        import tensorflow as tf
+        from jax.experimental import jax2tf
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(f"tensorflow/jax2tf unavailable: {e}")
+    try:
+        import tf2onnx
+    except ImportError as e:
+        raise RuntimeError(
+            "tf2onnx is required for ONNX export (pip install tf2onnx in "
+            f"your deployment environment): {e}"
+        )
+
+    fn = lambda x: apply_fn({"params": params}, x)
+    tf_fn = tf.function(
+        jax2tf.convert(fn, with_gradient=False, enable_xla=False),
+        input_signature=[tf.TensorSpec(input_shape, tf.float32, name="input")],
+        autograph=False,
+    )
+    model_proto, _ = tf2onnx.convert.from_function(
+        tf_fn,
+        input_signature=[tf.TensorSpec(input_shape, tf.float32, name="input")],
+        opset=opset,
+        output_path=path,
+    )
+    return path

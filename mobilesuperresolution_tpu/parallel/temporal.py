@@ -16,9 +16,15 @@ window loop is plain host orchestration around one program.
 Exactness: frame-parallel models (``single``) are bit-exact under chunking.
 For recurrent models (BasicVSR family) the propagated features have a
 geometrically decaying temporal horizon, so ``overlap`` frames of context
-approximate the full-clip forward with error decreasing in ``overlap``
-(tested: monotone, and visually negligible by overlap≈4); replicated edge
-frames yield near-zero flow, matching the zero-initialized carry semantics.
+approximate the full-clip forward with error decreasing in ``overlap``.
+Measured (analysis/approx_ladder.py: trained tiny BasicVSR_origin on
+deterministic translating-texture video, T=24, chunk=4 — exact whole-clip
+PSNR 34.32 dB): agreement with the exact output 52.1 dB at overlap=0,
+56.6 dB at overlap=2, saturating at 57.0 dB by overlap=4; the end-task PSNR
+delta is -0.054 dB at overlap=0 and within ±0.02 dB for overlap >= 2. The
+monotone-decay property is asserted by tests/test_approx_ladder.py.
+Replicated edge frames yield near-zero flow, matching the zero-initialized
+carry semantics.
 """
 
 import numpy as np

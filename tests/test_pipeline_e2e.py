@@ -338,3 +338,32 @@ def test_search_with_mobile_speed_table(tmp_path):
     # per-epoch annealing targets decay from ori toward the target
     targets = [float(x) for x in re.findall(r"speed target: ([0-9.]+) ms", log)]
     assert targets and all(t <= ori + 1e-6 for t in targets)
+
+
+def test_export_onnx(search_job, tmp_path):
+    """ONNX export (the reference's interchange artifact, export_onnx.py:
+    117-141) — gated on tf2onnx like TFLite is on tensorflow; when the
+    tooling is absent the API must fail with a clear actionable error, not
+    an ImportError deep in a conversion stack."""
+    from mobilesuperresolution_tpu.export import export_onnx
+    from mobilesuperresolution_tpu.models.result_net import ResultNet
+
+    model = ResultNet.from_artifact(str(search_job), scale=2)
+    shape = (1, 16, 16, 3)
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros(shape))
+    out = str(tmp_path / "m.onnx")
+    try:
+        import tf2onnx  # noqa: F401
+
+        have_tf2onnx = True
+    except ImportError:
+        have_tf2onnx = False
+    if not have_tf2onnx:
+        with pytest.raises(RuntimeError, match="tf2onnx"):
+            export_onnx(model.apply, variables["params"], shape, out)
+        return
+    path = export_onnx(model.apply, variables["params"], shape, out)
+    import onnx
+
+    m = onnx.load(path)
+    onnx.checker.check_model(m)
