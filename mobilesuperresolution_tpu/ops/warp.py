@@ -71,6 +71,10 @@ def flow_warp(x, flow, padding_mode="zeros"):
     # gather form lowers to a slower per-batch loop).
     idx = iyp * wp + ixp + (jnp.arange(n, dtype=jnp.int32) * (hp * wp))[:, None, None]
     q_flat = q.reshape(n * hp * wp, 4 * c)
+    # Gather mode: the default (FILL_OR_DROP) measured equal-or-faster than
+    # PROMISE_IN_BOUNDS ('wrap') in the full pipeline (98.9 vs 98.2 fps) and
+    # in-scan (13.0 vs 14.4 ms) despite PIB skipping the per-row bounds
+    # select — the gather is row-overhead-bound either way (DESIGN.md).
     taps = jnp.take(q_flat, idx.reshape(-1), axis=0, unique_indices=False,
                     indices_are_sorted=False).reshape(n, h, w, 4, c)
     t00, t01, t10, t11 = taps[..., 0, :], taps[..., 1, :], taps[..., 2, :], taps[..., 3, :]
