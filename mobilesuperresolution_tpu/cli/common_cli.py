@@ -75,3 +75,53 @@ def eval_modules(params):
     for name in params.eval_datasets:
         out.append((name, data_pkg.get_dataset_module(name)))
     return out
+
+
+def load_vsr_eval_params(path, model_type, model, template_params):
+    """Load evaluation weights for a VSR model: a params .npz, or a
+    reference/mmedit torch checkpoint (loaded via the ['params'] key like
+    test_video_superresolution.py:249) converted per model family
+    (train/torch_convert). Returns the params tree."""
+    if not path.endswith((".pt", ".pth")):
+        from mobilesuperresolution_tpu.train.checkpoint import load_params_npz
+
+        return load_params_npz(path, template_params)
+
+    from mobilesuperresolution_tpu.train import torch_convert as tc
+
+    sd = tc.load_torch_checkpoint(path)
+    if "params" in sd and not any(k.startswith("spynet") for k in sd):
+        sd = sd["params"]
+    if model_type == "basic_origin":
+        converted, ckpt_blocks = tc.convert_basicvsr_origin_state_dict(sd)
+        if ckpt_blocks != model.num_block:
+            raise ValueError(
+                f"checkpoint has {ckpt_blocks} trunk blocks but "
+                f"basic_origin expects {model.num_block}"
+            )
+    elif model_type == "single":
+        converted, ckpt_blocks, ckpt_ch = tc.convert_single_image_state_dict(sd)
+        if (ckpt_blocks, ckpt_ch) != (model.blocks, model.channel):
+            raise ValueError(
+                f"checkpoint is a {ckpt_blocks}-block/{ckpt_ch}-ch "
+                f"'single' model; got --num_blocks {model.blocks} "
+                f"channel {model.channel}"
+            )
+    elif model_type == "multi":
+        converted, _ = tc.convert_naive_multi_state_dict(sd)
+    elif model_type == "basic_mv":
+        converted, ckpt_blocks = tc.convert_mvvsr_state_dict(sd)
+        if ckpt_blocks != model.num_block:
+            raise ValueError(
+                f"checkpoint has {ckpt_blocks} trunk blocks but "
+                f"basic_mv expects {model.num_block}"
+            )
+    else:
+        raise ValueError(
+            f"torch checkpoint conversion is not available for "
+            f"{model_type!r} (the reference's mobile 'basic' "
+            "variant cannot run in the reference itself — its "
+            "conv_last shape is broadcast-impossible, see "
+            "models/basicvsr.py:19-23); export npz weights instead"
+        )
+    return converted

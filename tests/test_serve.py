@@ -1,0 +1,109 @@
+"""Streaming serving: parity with chunked batch eval + CLI e2e."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
+from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+from mobilesuperresolution_tpu.serve import StreamingVSR
+
+
+@pytest.fixture(scope="module")
+def tiny_vsr():
+    model = BasicVSR(num_feat=8, num_block=1, scale=2)
+    x = jnp.zeros((1, 7, 16, 20, 3))
+    variables = model.init(jax.random.key(0), x, 32, 40)
+    apply_fn = jax.jit(
+        lambda x, oh, ow: model.apply(variables, x, oh, ow),
+        static_argnums=(1, 2),
+    )
+    return apply_fn
+
+
+def test_streaming_matches_chunked(tiny_vsr, rng):
+    """Pushing a clip frame-by-frame == chunked_vsr_apply on the whole clip,
+    bit for bit (same windows, same compiled program)."""
+    t, h, w = 14, 16, 20
+    chunk, overlap = 3, 2
+    clip = rng.random((1, t, h, w, 3)).astype(np.float32)
+
+    want = np.asarray(
+        chunked_vsr_apply(tiny_vsr, jnp.asarray(clip), 32, 40, chunk, overlap)
+    )
+
+    stream = StreamingVSR(tiny_vsr, 32, 40, chunk=chunk, overlap=overlap)
+    got = []
+    for i in range(t):
+        frames = stream.push(clip[0, i])
+        for fr in frames:
+            got.append(fr)
+    got.extend(stream.flush())
+
+    assert len(got) == t
+    np.testing.assert_array_equal(np.stack(got)[None], want)
+
+
+def test_streaming_emission_order_and_lookahead(tiny_vsr, rng):
+    """Outputs appear in order, and output j is never emitted before input
+    j + ... arrives — i.e. emission respects the bounded-lookahead contract
+    (never ahead of the dispatch rule next_start <= seen - chunk - overlap
+    + chunk)."""
+    t, h, w = 11, 16, 20
+    chunk, overlap = 2, 1
+    clip = rng.random((1, t, h, w, 3)).astype(np.float32)
+    stream = StreamingVSR(tiny_vsr, 32, 40, chunk=chunk, overlap=overlap)
+    emitted = 0
+    for i in range(t):
+        out = stream.push(clip[0, i])
+        emitted += len(out)
+        # dispatchable outputs after seeing i+1 frames:
+        seen = i + 1
+        max_dispatched = max(0, seen - chunk - overlap + 1)
+        # emitted outputs come in multiples of full windows behind dispatch
+        assert emitted <= ((max_dispatched + chunk - 1) // chunk) * chunk
+    rest = stream.flush()
+    emitted += len(rest)
+    assert emitted == t
+    with pytest.raises(RuntimeError):
+        stream.push(clip[0, 0])
+
+
+def test_streaming_rejects_bad_config(tiny_vsr):
+    with pytest.raises(ValueError):
+        StreamingVSR(tiny_vsr, 32, 40, chunk=0)
+    with pytest.raises(ValueError):
+        StreamingVSR(tiny_vsr, 32, 40, chunk=2, overlap=-1)
+
+
+def test_serve_cli(tmp_path, rng):
+    from PIL import Image
+
+    from mobilesuperresolution_tpu.cli import serve
+
+    in_dir = tmp_path / "frames"
+    in_dir.mkdir()
+    t, h, w = 7, 16, 20
+    for i in range(t):
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(in_dir / f"{i:04d}.png")
+
+    job = tmp_path / "job"
+    serve.main([
+        "--job_dir", str(job),
+        "--input_dir", str(in_dir),
+        "--model_type", "basic",
+        "--scale", "2",
+        "--height", str(h * 2),
+        "--width", str(w * 2),
+        "--chunk_frames", "2",
+        "--chunk_overlap", "1",
+    ])
+    out = sorted(os.listdir(job / "serve"))
+    assert len(out) == t
+    first = np.asarray(Image.open(job / "serve" / out[0]))
+    assert first.shape == (h * 2, w * 2, 3)
