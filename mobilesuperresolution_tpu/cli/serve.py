@@ -9,7 +9,9 @@ and outputs leave with a bounded lookahead of chunk + overlap - 1 frames.
 
 Reads an ordered directory of frames (the NEMO/REDS frame-dir layout), writes
 SR PNGs, and prints one JSON line of end-to-end throughput/latency stats —
-end-to-end means including host decode, H2D, D2H, and PNG encode.
+end-to-end means including host decode, H2D, D2H, and PNG encode. Several
+comma-separated input directories serve as lockstep streams batched into one
+window program (outputs per stream match solo serving to float ulp level).
 """
 
 import json
@@ -41,7 +43,10 @@ def main(argv=None):
     parser.set_defaults(dataset="reds", eval_only=True)
     add_vsr_args(parser)
     parser.add_argument("--input_dir", type=str, required=True,
-                        help="Directory of ordered frames (sorted by name).")
+                        help="Directory of ordered frames (sorted by name). "
+                        "Comma-separate multiple directories to serve that "
+                        "many lockstep streams batched into one program "
+                        "(outputs land in stream<i>/ subdirectories).")
     parser.add_argument("--output_dir", type=str, default=None,
                         help="Where SR PNGs go (default: job_dir/serve).")
     parser.add_argument("--height", type=int, default=1080)
@@ -62,17 +67,28 @@ def main(argv=None):
         flow_downscale=getattr(params, "flow_downscale", 1),
     )
 
-    names = sorted(
-        f for f in os.listdir(params.input_dir)
-        if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
-    )
-    if not names:
-        raise SystemExit(f"no frames in {params.input_dir}")
-    first = load_image(os.path.join(params.input_dir, names[0]))
+    in_dirs = [d for d in params.input_dir.split(",") if d]
+    per_stream_names = []
+    for d in in_dirs:
+        names = sorted(
+            f for f in os.listdir(d)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp"))
+        )
+        if not names:
+            raise SystemExit(f"no frames in {d}")
+        per_stream_names.append(names)
+    n_frames = min(len(n) for n in per_stream_names)
+    if len({len(n) for n in per_stream_names}) > 1:
+        logging.warning(
+            "streams have unequal frame counts; serving the common "
+            "prefix of %d frames", n_frames,
+        )
+    n_streams = len(in_dirs)
+    first = load_image(os.path.join(in_dirs[0], per_stream_names[0][0]))
     h, w, c = first.shape
 
     window = chunk + 2 * params.chunk_overlap
-    sample = jnp.zeros((1, window, h, w, c))
+    sample = jnp.zeros((n_streams, window, h, w, c))
     tx = multistep_adam(1e-4, 1, 1)
     state = create_train_state(
         model,
@@ -94,41 +110,58 @@ def main(argv=None):
     )
     stream = StreamingVSR(
         apply_fn, params.height, params.width,
-        chunk=chunk, overlap=params.chunk_overlap,
+        chunk=chunk, overlap=params.chunk_overlap, num_streams=n_streams,
     )
-    logging.info("compiling window program (%d frames %dx%d)...", window, h, w)
+    logging.info(
+        "compiling window program (%d streams x %d frames %dx%d)...",
+        n_streams, window, h, w,
+    )
     stream.warmup((h, w, c))
 
     out_dir = params.output_dir or os.path.join(params.job_dir, "serve")
-    os.makedirs(out_dir, exist_ok=True)
+    stream_dirs = (
+        [out_dir]
+        if n_streams == 1
+        else [os.path.join(out_dir, f"stream{i}") for i in range(n_streams)]
+    )
+    if not params.no_save:
+        for d in stream_dirs:
+            os.makedirs(d, exist_ok=True)
 
-    emitted = 0
-    push_times = []  # arrival wall-clock per input frame
-    emit_lat = []  # arrival->emission seconds per output frame
+    emitted = 0  # emitted time steps (each carries n_streams frames)
+    push_times = []  # arrival wall-clock per input time step
+    emit_lat = []  # arrival->emission seconds per output time step
 
-    def emit(frames):
+    def emit(steps):
         nonlocal emitted
         now = time.perf_counter()
-        for fr in frames:
+        for fr in steps:
             emit_lat.append(now - push_times[emitted])
             if not params.no_save:
-                _save_png(os.path.join(out_dir, f"{emitted:08d}.png"), fr)
+                per_stream = fr[None] if fr.ndim == 3 else fr
+                for d, sfr in zip(stream_dirs, per_stream):
+                    _save_png(os.path.join(d, f"{emitted:08d}.png"), sfr)
             emitted += 1
 
     t0 = time.perf_counter()
-    for name in names:
-        frame = load_image(os.path.join(params.input_dir, name)).astype(
-            np.float32
-        ) / 255.0
+    for i in range(n_frames):
+        frame = np.stack(
+            [
+                load_image(os.path.join(d, names[i])).astype(np.float32)
+                / 255.0
+                for d, names in zip(in_dirs, per_stream_names)
+            ]
+        )
         push_times.append(time.perf_counter())
-        emit(stream.push(frame))
+        emit(stream.push(frame if n_streams > 1 else frame[0]))
     emit(stream.flush())
     wall = time.perf_counter() - t0
-    assert emitted == len(names), (emitted, len(names))
+    assert emitted == n_frames, (emitted, n_frames)
 
     stats = {
-        "frames": emitted,
-        "fps_end_to_end": round(emitted / wall, 2),
+        "streams": n_streams,
+        "frames": emitted * n_streams,
+        "fps_end_to_end": round(emitted * n_streams / wall, 2),
         "latency_p50_ms": round(1e3 * float(np.percentile(emit_lat, 50)), 1),
         "latency_p95_ms": round(1e3 * float(np.percentile(emit_lat, 95)), 1),
         "lookahead_frames": chunk + params.chunk_overlap - 1,

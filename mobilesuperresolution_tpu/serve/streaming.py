@@ -36,13 +36,20 @@ class StreamingVSR:
     """Push frames in, get super-resolved frames out, in order.
 
     apply_fn: ``(lr_window, out_h, out_w) -> sr_window`` over
-        (1, window, H, W, C) — e.g. a jitted ``model.apply`` closure. Called
+        (S, window, H, W, C) — e.g. a jitted ``model.apply`` closure. Called
         with a fixed window length, so it compiles exactly once.
     height, width: output frame size.
     chunk: output frames emitted per window.
     overlap: context frames on each side of the kept span (same
         speed/quality trade as ``chunked_vsr_apply``; the quantified ladder
         in parallel/temporal.py applies verbatim).
+    num_streams: S lockstep input streams batched into ONE window program.
+        Every op in the VSR models is batch-independent, so each stream's
+        output matches serving it alone to float ulp level (the batch size
+        is part of the compiled program, so XLA may re-tile reductions;
+        measured max 6e-8 abs delta — tested) — while the chip amortizes
+        its fixed per-dispatch/per-op costs over S streams (the production
+        serving shape: many cameras/videos per chip).
 
     Equivalence: for a clip longer than one window, pushing its frames
     through ``StreamingVSR`` yields bit-identical output to
@@ -52,15 +59,19 @@ class StreamingVSR:
     bit-equal — batch serving of short clips should use that path.
     """
 
-    def __init__(self, apply_fn, height, width, chunk=4, overlap=4):
+    def __init__(self, apply_fn, height, width, chunk=4, overlap=4,
+                 num_streams=1):
         if chunk <= 0:
             raise ValueError("chunk must be positive")
         if overlap < 0:
             raise ValueError("overlap must be >= 0")
+        if num_streams <= 0:
+            raise ValueError("num_streams must be positive")
         self._apply = apply_fn
         self._hw = (height, width)
         self.chunk = chunk
         self.overlap = overlap
+        self.num_streams = num_streams
         self.window = chunk + 2 * overlap
         # frames[i] holds stream index self._base + i
         self._frames = deque()
@@ -73,7 +84,9 @@ class StreamingVSR:
     def warmup(self, frame_shape, dtype=np.float32):
         """Compile the window program before the stream starts (serving
         startup cost, not first-frame latency). frame_shape: (H, W, C)."""
-        dummy = jnp.zeros((1, self.window, *frame_shape), dtype)
+        dummy = jnp.zeros(
+            (self.num_streams, self.window, *frame_shape), dtype
+        )
         np.asarray(self._apply(dummy, *self._hw))
 
     def _window_indices(self, s, last_idx):
@@ -82,7 +95,10 @@ class StreamingVSR:
 
     def _dispatch(self, s, last_idx):
         idx = self._window_indices(s, last_idx)
-        window = np.stack([self._frames[i - self._base] for i in idx])[None]
+        # frames are stored (S, H, W, C); stack time then put streams first
+        window = np.stack(
+            [self._frames[i - self._base] for i in idx], axis=1
+        )
         out = self._apply(jnp.asarray(window), *self._hw)  # async dispatch
         n_keep = min(self.chunk, self._seen - s)
         return out, n_keep
@@ -90,8 +106,10 @@ class StreamingVSR:
     def _harvest(self):
         out, n_keep = self._inflight
         self._inflight = None
-        sr = np.asarray(out)[0, self.overlap : self.overlap + n_keep]
-        return list(sr)
+        sr = np.asarray(out)[:, self.overlap : self.overlap + n_keep]
+        if self.num_streams == 1:
+            return list(sr[0])
+        return list(np.swapaxes(sr, 0, 1))  # time-ordered (S, OH, OW, C)
 
     def _drop_consumed(self):
         # frames below next window's left context are dead
@@ -101,11 +119,21 @@ class StreamingVSR:
             self._base += 1
 
     def push(self, frame):
-        """Add the next frame (H, W, C). Returns the list of SR frames that
-        became ready (possibly empty), in stream order."""
+        """Add the next frame — (H, W, C), or (S, H, W, C) holding every
+        stream's frame for this time step when ``num_streams > 1``. Returns
+        the list of SR frames that became ready (possibly empty), in stream
+        order; each entry is (H, W, C) or (S, OH, OW, C) respectively."""
         if self._flushed:
             raise RuntimeError("push() after flush()")
-        self._frames.append(np.asarray(frame))
+        frame = np.asarray(frame)
+        if self.num_streams == 1 and frame.ndim == 3:
+            frame = frame[None]
+        if frame.shape[0] != self.num_streams:
+            raise ValueError(
+                f"expected {self.num_streams} stream frames, got "
+                f"{frame.shape[0]}"
+            )
+        self._frames.append(frame)
         self._seen += 1
         ready = []
         # window for output span [s, s+chunk) needs frames through

@@ -78,6 +78,41 @@ def test_streaming_rejects_bad_config(tiny_vsr):
         StreamingVSR(tiny_vsr, 32, 40, chunk=0)
     with pytest.raises(ValueError):
         StreamingVSR(tiny_vsr, 32, 40, chunk=2, overlap=-1)
+    with pytest.raises(ValueError):
+        StreamingVSR(tiny_vsr, 32, 40, num_streams=0)
+    s = StreamingVSR(tiny_vsr, 32, 40, num_streams=2)
+    with pytest.raises(ValueError):
+        s.push(np.zeros((3, 16, 20, 3), np.float32))
+
+
+def test_multistream_matches_solo(tiny_vsr, rng):
+    """S lockstep streams batched into one program == each stream served
+    alone. Every model op is batch-independent, but the batch size is part
+    of the compiled program, so XLA may re-tile reductions — outputs agree
+    to float ulp level (measured max 6e-8 abs), not bit-for-bit."""
+    s_n, t, h, w = 3, 9, 16, 20
+    chunk, overlap = 2, 2
+    clips = rng.random((s_n, t, h, w, 3)).astype(np.float32)
+
+    solo = []
+    for s in range(s_n):
+        stream = StreamingVSR(tiny_vsr, 32, 40, chunk=chunk, overlap=overlap)
+        got = []
+        for i in range(t):
+            got.extend(stream.push(clips[s, i]))
+        got.extend(stream.flush())
+        solo.append(np.stack(got))
+
+    multi = StreamingVSR(
+        tiny_vsr, 32, 40, chunk=chunk, overlap=overlap, num_streams=s_n
+    )
+    got = []
+    for i in range(t):
+        got.extend(multi.push(clips[:, i]))
+    got.extend(multi.flush())
+    assert len(got) == t
+    stacked = np.stack(got, axis=1)  # (S, T, OH, OW, C)
+    np.testing.assert_allclose(stacked, np.stack(solo), atol=1e-6, rtol=1e-5)
 
 
 def test_serve_cli(tmp_path, rng):
@@ -107,3 +142,36 @@ def test_serve_cli(tmp_path, rng):
     assert len(out) == t
     first = np.asarray(Image.open(job / "serve" / out[0]))
     assert first.shape == (h * 2, w * 2, 3)
+
+
+def test_serve_cli_multistream(tmp_path, rng):
+    from PIL import Image
+
+    from mobilesuperresolution_tpu.cli import serve
+
+    t, h, w = 6, 16, 20
+    dirs = []
+    for s in range(2):
+        d = tmp_path / f"frames{s}"
+        d.mkdir()
+        for i in range(t):
+            arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i:04d}.png")
+        dirs.append(str(d))
+
+    job = tmp_path / "job"
+    serve.main([
+        "--job_dir", str(job),
+        "--input_dir", ",".join(dirs),
+        "--model_type", "basic",
+        "--scale", "2",
+        "--height", str(h * 2),
+        "--width", str(w * 2),
+        "--chunk_frames", "2",
+        "--chunk_overlap", "1",
+    ])
+    for s in range(2):
+        out = sorted(os.listdir(job / "serve" / f"stream{s}"))
+        assert len(out) == t
+        first = np.asarray(Image.open(job / "serve" / f"stream{s}" / out[0]))
+        assert first.shape == (h * 2, w * 2, 3)
