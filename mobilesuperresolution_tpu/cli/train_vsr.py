@@ -69,6 +69,12 @@ def add_vsr_args(parser):
     parser.add_argument("--flow_downscale", type=int, default=1,
                         help="Run SpyNet on 1/d-res frames and upsample the "
                         "flow (basic/basic_origin; 1 = exact reference flows).")
+    parser.add_argument("--remat", action="store_true",
+                        help="Rematerialize propagation-step trunks in the "
+                        "backward pass: O(1) activation memory in clip "
+                        "length, identical gradients (basic/basic_mv/"
+                        "basic_origin) — train longer --image_batch clips "
+                        "than activation memory would allow.")
 
 
 def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
@@ -144,6 +150,7 @@ def main(argv=None):
         block_index_path=params.model_path,
         compute_dtype=dtype,
         flow_downscale=getattr(params, "flow_downscale", 1),
+        remat=getattr(params, "remat", False),
     )
 
     train_ds = None if params.eval_only else dataset_module.get_dataset(modes.TRAIN, params)

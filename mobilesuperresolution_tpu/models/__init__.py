@@ -71,6 +71,7 @@ def get_vsr_model(
     block_index_path=None,
     compute_dtype=jnp.float32,
     flow_downscale=1,
+    remat=False,
 ):
     """Build a VSR model by type string ('single' | 'multi' | 'multi_v1' |
     'basic' | 'basic_mv' | 'basic_origin'), with the reference's canonical sizes
@@ -81,7 +82,13 @@ def get_vsr_model(
     ('basic', 'basic_origin', 'multi'; 1 = exact reference flows — see
     BasicVSRBase). Rejected for model types that never run SpyNet at
     inference ('single', 'basic_mv', 'multi_v1') rather than silently
-    ignored."""
+    ignored.
+
+    remat: rematerialize each propagation step's trunks in the backward
+    pass — O(T) → O(1) activation memory in clip length (SURVEY §5.7; the
+    gradients are identical, tested). Only meaningful for the recurrent
+    BasicVSR family ('basic', 'basic_mv', 'basic_origin'); rejected for
+    the frame-parallel types rather than silently ignored."""
     if flow_downscale < 1:
         raise ValueError(f"flow_downscale must be >= 1, got {flow_downscale}")
     if flow_downscale != 1 and model_type not in ("basic", "basic_origin", "multi"):
@@ -89,6 +96,13 @@ def get_vsr_model(
             f"flow_downscale is only implemented for 'basic'/'basic_origin'/"
             f"'multi', not {model_type!r}: 'single' and 'basic_mv' run no "
             "SpyNet at inference, and 'multi_v1' does not implement it"
+        )
+    if remat and model_type not in ("basic", "basic_mv", "basic_origin"):
+        raise ValueError(
+            f"remat applies to the recurrent BasicVSR family "
+            f"('basic'/'basic_mv'/'basic_origin'), not {model_type!r} — "
+            "'single'/'multi' are frame-parallel (no temporal scan to "
+            "rematerialize) and 'multi_v1' does not implement it"
         )
     if model_type == "single":
         return SingleImageModel(
@@ -116,10 +130,12 @@ def get_vsr_model(
             scale=scale,
             compute_dtype=compute_dtype,
             flow_downscale=flow_downscale,
+            remat=remat,
         )
     if model_type == "basic_mv":
         return MotionVectorVSR(
-            num_feat=20, num_block=8, scale=scale, compute_dtype=compute_dtype
+            num_feat=20, num_block=8, scale=scale, compute_dtype=compute_dtype,
+            remat=remat,
         )
     if model_type == "basic_origin":
         return BasicVSROrigin(
@@ -128,5 +144,6 @@ def get_vsr_model(
             scale=scale,
             compute_dtype=compute_dtype,
             flow_downscale=flow_downscale,
+            remat=remat,
         )
     raise KeyError(f"unknown VSR model_type {model_type!r}")

@@ -188,6 +188,20 @@ def test_basicvsr_remat_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_get_vsr_model_remat_wiring():
+    """--remat reaches the recurrent family through the registry and is
+    rejected (not silently ignored) for frame-parallel types."""
+    import pytest
+
+    from mobilesuperresolution_tpu.models import get_vsr_model
+
+    for mt in ("basic", "basic_mv", "basic_origin"):
+        assert get_vsr_model(mt, scale=4, remat=True).remat is True
+        assert get_vsr_model(mt, scale=4).remat is False
+    with pytest.raises(ValueError, match="remat"):
+        get_vsr_model("single", scale=4, remat=True)
+
+
 def test_nas_model_with_measured_speed_table():
     from mobilesuperresolution_tpu.nas.speed_estimator import densify_speed_table
 
