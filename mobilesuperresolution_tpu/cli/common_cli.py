@@ -7,6 +7,20 @@ import mobilesuperresolution_tpu.data as data_pkg
 import mobilesuperresolution_tpu.models as models_pkg
 
 
+def train_steps_per_epoch(n_items, batch_size):
+    """Optimizer steps each process runs per epoch.
+
+    Per-host sharding hands every process ceil(n/P) items (wrap-padded like
+    DistributedSampler — data/isr.py::_batches), batched with drop_last by
+    the PER-HOST batch size. The LR schedule milestones are denominated in
+    steps, so computing this from the global count would fire them
+    process_count times too late on a multi-host job."""
+    import jax
+
+    per_host = -(-n_items // jax.process_count())
+    return max(per_host // batch_size, 1)
+
+
 def base_parser(description):
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--job_dir", type=str, required=True)
@@ -108,7 +122,13 @@ def load_vsr_eval_params(path, model_type, model, template_params):
                 f"channel {model.channel}"
             )
     elif model_type == "multi":
-        converted, _ = tc.convert_naive_multi_state_dict(sd)
+        converted, ckpt_blocks = tc.convert_naive_multi_state_dict(sd)
+        if ckpt_blocks != len(model.idx):
+            raise ValueError(
+                f"checkpoint has {ckpt_blocks} body blocks but the "
+                f"block_index artifact (--model_path) describes "
+                f"{len(model.idx)} — they come from different searches"
+            )
     elif model_type == "basic_mv":
         converted, ckpt_blocks = tc.convert_mvvsr_state_dict(sd)
         if ckpt_blocks != model.num_block:

@@ -80,7 +80,14 @@ def main(argv=None):
         if fmt == "stablehlo":
             p = export_stablehlo(apply_fn, params, shape, args.out + ".stablehlo")
         elif fmt == "onnx":
-            p = export_onnx(apply_fn, params, shape, args.out + ".onnx")
+            if args.model_type != "result":
+                parser.error(
+                    "--format onnx exports the searched SISR net "
+                    "(--model_type result) — the reference's ONNX artifact "
+                    "(export_onnx.py:117-141); use stablehlo/tflite for the "
+                    "VSR types"
+                )
+            p = export_onnx(model, params, shape, args.out + ".onnx")
         else:
             p = export_tflite(
                 apply_fn, params, shape, args.out + ".tflite", quantize=args.quantize

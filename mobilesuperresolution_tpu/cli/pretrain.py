@@ -21,6 +21,7 @@ from mobilesuperresolution_tpu.cli.common_cli import (
     base_parser,
     eval_modules,
     parse_with_plugins,
+    train_steps_per_epoch,
 )
 from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
 from mobilesuperresolution_tpu.core.metrics_writer import MetricsWriter
@@ -91,7 +92,9 @@ def main(argv=None):
 
     train_ds = None if params.eval_only else dataset_module.get_dataset(modes.TRAIN, params)
     steps_per_epoch = (
-        max(len(train_ds) // params.train_batch_size, 1) if train_ds else 1
+        train_steps_per_epoch(len(train_ds), params.train_batch_size)
+        if train_ds
+        else 1
     )
     # linear LR scaling by world size (pretrain.py:216-217): the global batch
     # is train_batch_size × process_count (per-host loading)

@@ -12,6 +12,7 @@ from mobilesuperresolution_tpu.cli.common_cli import (
     base_parser,
     eval_modules,
     parse_with_plugins,
+    train_steps_per_epoch,
 )
 from mobilesuperresolution_tpu.cli.pretrain import run_evaluation
 from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
@@ -43,7 +44,7 @@ def main(argv=None):
     logging.info(f"searched architecture: {model.idx}")
 
     train_ds = dataset_module.get_dataset(modes.TRAIN, params)
-    steps_per_epoch = max(len(train_ds) // params.train_batch_size, 1)
+    steps_per_epoch = train_steps_per_epoch(len(train_ds), params.train_batch_size)
     tx = multistep_adam(params.learning_rate, steps_per_epoch, params.epochs)
     sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
     state = create_train_state(model, jax.random.key(params.seed), sample, tx)

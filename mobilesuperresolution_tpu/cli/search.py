@@ -20,6 +20,7 @@ from mobilesuperresolution_tpu.cli.common_cli import (
     base_parser,
     eval_modules,
     parse_with_plugins,
+    train_steps_per_epoch,
 )
 from mobilesuperresolution_tpu.cli.pretrain import run_evaluation
 from mobilesuperresolution_tpu.core import AverageMeter, LoggingTool, modes
@@ -87,7 +88,7 @@ def main(argv=None):
     model = get_model(params)
 
     train_ds = dataset_module.get_dataset(modes.TRAIN, params)
-    steps_per_epoch = max(len(train_ds) // params.train_batch_size, 1)
+    steps_per_epoch = train_steps_per_epoch(len(train_ds), params.train_batch_size)
 
     speed_table = None
     if params.build_speed_table:

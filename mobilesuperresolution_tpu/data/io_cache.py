@@ -37,7 +37,10 @@ def _sub_filter(u8):
 
 
 def _sub_unfilter(d):
-    return (np.cumsum(d.astype(np.int64), axis=1) % 256).astype(np.uint8)
+    # uint8 accumulate wraps mod-256 natively — identical to a widened
+    # cumsum % 256 without allocating 8x int64 temporaries per frame read
+    # (this runs in the loader threads on every compressed-entry access)
+    return np.add.accumulate(d, axis=1, dtype=np.uint8)
 
 
 class ArrayCache:

@@ -151,9 +151,17 @@ def _batches(dataset, batch_size, shuffle, seed, drop_last, shard_by_process=Fal
     if shard_by_process:
         # per-host sharding — the DistributedSampler role (pretrain.py:182);
         # every process shuffles identically (same seed) then takes its slice.
+        # Pad with wrap-around to a multiple of process_count first (exactly
+        # DistributedSampler's padding): every process MUST see the same
+        # number of batches — the train step is a cross-host collective, so
+        # one host running an extra step while the others have moved on to
+        # the checkpoint barrier deadlocks the job.
         import jax
 
-        order = order[jax.process_index() :: jax.process_count()]
+        p = jax.process_count()
+        if len(order) % p:
+            order = np.concatenate([order, order[: p - len(order) % p]])
+        order = order[jax.process_index() :: p]
     for start in range(0, len(order), batch_size):
         idx = order[start : start + batch_size]
         if len(idx) == 0 or (drop_last and len(idx) < batch_size):
@@ -197,15 +205,21 @@ def batch_iterator(
     def worker():
         # dataset errors re-raise in the consumer — a silently swallowed
         # exception here would look like a clean (truncated) end-of-epoch.
-        # Exception (not BaseException): interpreter-level signals like
-        # KeyboardInterrupt must terminate the daemon thread, not masquerade
-        # as dataset errors sitting in the queue.
+        # BaseExceptions (SystemExit raised by library code, a
+        # KeyboardInterrupt delivered to this thread) are ALSO transported —
+        # the consumer blocks on q.get(), so a worker that dies without
+        # enqueuing anything would hang training forever — and then
+        # re-raised here so interpreter-level signals still terminate the
+        # thread rather than masquerade as handled dataset errors.
         try:
             for item in gen:
                 q.put(item)
             q.put(_END)
         except Exception as e:  # noqa: BLE001 — transported, not handled
             q.put(e)
+        except BaseException as e:
+            q.put(e)
+            raise
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()

@@ -95,6 +95,53 @@ def test_two_process_cluster_matches_single_process():
     )
 
 
+def test_per_host_batch_counts_equalized(monkeypatch):
+    """Every process must run the SAME number of batches per epoch — the
+    train step is a cross-host collective, so one host running an extra
+    step while the others wait at the checkpoint barrier deadlocks the job.
+    The per-host slicing wrap-pads like DistributedSampler."""
+    import jax
+
+    from mobilesuperresolution_tpu.data.isr import _batches
+
+    class _DS:
+        def __len__(self):
+            return 7
+
+        def __getitem__(self, i):
+            return (np.full((2, 2, 1), i, np.float32),
+                    np.full((4, 4, 1), i, np.float32))
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    per_host = []
+    for pid in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda pid=pid: pid)
+        batches = list(_batches(_DS(), 2, shuffle=True, seed=0,
+                                drop_last=True, shard_by_process=True))
+        per_host.append(batches)
+    assert len(per_host[0]) == len(per_host[1]) == 2
+    # the union of per-host items covers the dataset (one wrap duplicate)
+    seen = {
+        int(b[0][j, 0, 0, 0]) for b in per_host[0] + per_host[1]
+        for j in range(b[0].shape[0])
+    }
+    assert seen <= set(range(7)) and len(seen) >= 6
+
+
+def test_steps_per_epoch_uses_per_host_count(monkeypatch):
+    """LR-schedule milestones are denominated in steps; with per-host
+    sharding each process runs ~n/(P*B) steps per epoch, not n/B."""
+    import jax
+
+    from mobilesuperresolution_tpu.cli.common_cli import train_steps_per_epoch
+
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    assert train_steps_per_epoch(1000, 16) == 62
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert train_steps_per_epoch(1000, 16) == 15  # ceil(1000/4)=250 -> 15
+    assert train_steps_per_epoch(3, 16) == 1  # floor of 1
+
+
 def test_pretrain_cli_multiprocess(tmp_path):
     """End-to-end: the pretrain CLI joins a 2-process cluster through the
     --coordinator_address flags, trains an epoch on the synthetic dataset,

@@ -342,28 +342,43 @@ def test_search_with_mobile_speed_table(tmp_path):
 
 def test_export_onnx(search_job, tmp_path):
     """ONNX export (the reference's interchange artifact, export_onnx.py:
-    117-141) — gated on tf2onnx like TFLite is on tensorflow; when the
-    tooling is absent the API must fail with a clear actionable error, not
-    an ImportError deep in a conversion stack."""
+    117-141) goes through an NCHW torch mirror with the weight norm baked
+    into plain convs (jax2tf→tf2onnx cannot work: the converted graph is
+    always an XlaCallModule, which tf2onnx has no handler for). The mirror's
+    forward must match the flax forward; the actual .onnx write is gated on
+    the 'onnx' package with a clear actionable error."""
+    import numpy as np
+    import torch
+
     from mobilesuperresolution_tpu.export import export_onnx
+    from mobilesuperresolution_tpu.export.export import build_torch_result_net
     from mobilesuperresolution_tpu.models.result_net import ResultNet
 
     model = ResultNet.from_artifact(str(search_job), scale=2)
     shape = (1, 16, 16, 3)
     variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros(shape))
+
+    # forward parity: flax NHWC vs torch-mirror NCHW
+    x = np.random.default_rng(0).random(shape).astype(np.float32)
+    want = np.asarray(model.apply(variables, jnp.asarray(x)))
+    mirror = build_torch_result_net(model, variables["params"])
+    with torch.no_grad():
+        got = mirror(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        got.numpy().transpose(0, 2, 3, 1), want, atol=2e-5
+    )
+
     out = str(tmp_path / "m.onnx")
     try:
-        import tf2onnx  # noqa: F401
+        import onnx  # noqa: F401
 
-        have_tf2onnx = True
+        have_onnx = True
     except ImportError:
-        have_tf2onnx = False
-    if not have_tf2onnx:
-        with pytest.raises(RuntimeError, match="tf2onnx"):
-            export_onnx(model.apply, variables["params"], shape, out)
+        have_onnx = False
+    if not have_onnx:
+        with pytest.raises(RuntimeError, match="onnx"):
+            export_onnx(model, variables["params"], shape, out)
         return
-    path = export_onnx(model.apply, variables["params"], shape, out)
-    import onnx
-
+    path = export_onnx(model, variables["params"], shape, out)
     m = onnx.load(path)
     onnx.checker.check_model(m)
