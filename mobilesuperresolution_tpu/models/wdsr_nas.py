@@ -138,6 +138,14 @@ class NASModel(nn.Module):
         model from the analytic fallback to on-TPU measurements."""
         in_dtype = x.dtype
         r = self.num_residual_units
+        if speed_table is not None and speed_table.shape[-1] < r + 1:
+            # the in-jit lookup would silently CLAMP channel indices past the
+            # table edge (wrong latencies, no error) — reject at trace time
+            raise ValueError(
+                f"speed_table covers channels 0..{speed_table.shape[-1] - 1} "
+                f"but num_residual_units={r}; re-densify with "
+                f"max_ch >= {r} (nas.speed_estimator.densify_speed_table)"
+            )
         num_outputs = self.scale * self.scale * self.num_channels
         mask_w = self.param("mask_w", gate_init, (r,), jnp.float32)
 

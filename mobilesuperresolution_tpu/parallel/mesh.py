@@ -19,8 +19,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(data=None, spatial=1, devices=None):
     """Create a (data, spatial) mesh. ``data=None`` uses all remaining
-    devices."""
-    devices = devices if devices is not None else jax.devices()
+    devices.
+
+    When using all devices, the assignment goes through
+    ``mesh_utils.create_device_mesh`` so on a real pod slice the axes follow
+    the physical topology (the latency-sensitive ``spatial`` halo exchanges
+    ride contiguous ICI neighbors instead of whatever order ``jax.devices()``
+    enumerates); an explicit ``devices`` subset (tests) keeps the plain
+    reshape."""
+    explicit = devices is not None
+    devices = devices if explicit else jax.devices()
     n = len(devices)
     if data is None:
         if n % spatial != 0:
@@ -28,7 +36,15 @@ def make_mesh(data=None, spatial=1, devices=None):
         data = n // spatial
     if data * spatial != n:
         raise ValueError(f"{data}x{spatial} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, spatial)
+    if not explicit:
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh((data, spatial))
+        except Exception:  # single-device/virtual-CPU corner cases
+            dev_array = np.asarray(devices).reshape(data, spatial)
+    else:
+        dev_array = np.asarray(devices).reshape(data, spatial)
     return Mesh(dev_array, axis_names=("data", "spatial"))
 
 

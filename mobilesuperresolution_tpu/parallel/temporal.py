@@ -10,8 +10,13 @@ our exact spatial halo sharding (parallel/halo.py).
 
 TPU shape discipline: every window has the SAME frame count — clip edges are
 handled by replicating the first/last frame into the out-of-range slots — so
-``apply_fn`` is traced and compiled ONCE regardless of video length, and the
-window loop is plain host orchestration around one program.
+for any clip longer than one window ``apply_fn`` is traced and compiled ONCE
+regardless of video length, and the window loop is plain host orchestration
+around one program. Clips that FIT in one window deliberately run un-windowed
+at native length (one extra compile per distinct short length): for recurrent
+models the native forward is exact where a padded window would not be —
+serving pipelines that want strictly one program for short clips too should
+stream them through serve.StreamingVSR, which always windows.
 
 Exactness: frame-parallel models (``single``) are bit-exact under chunking.
 For recurrent models (BasicVSR family) the propagated features have a

@@ -14,8 +14,10 @@ radius, keep only each tile's uncontaminated interior, and anchor edge tiles
 to the true image border so the model's own SAME zero padding reproduces the
 full-frame boundary math bit-for-bit (same trick as
 parallel/halo.shard_offsets). One tile shape = ONE compiled program for the
-whole mixed-shape dataset; images smaller than the tile fall back to their
-native shape (small images are cheap to compile).
+whole mixed-shape dataset. Each dimension tiles independently: a dimension
+smaller than the tile uses its native size, so an elongated image (e.g.
+96x2000) still tiles along its long side — bounded memory and one program
+per distinct SMALL dimension value, not per distinct image shape.
 
 Exactness requires ``radius`` ≥ the model's true receptive radius
 (parallel.halo.receptive_radius_wdsr for the WDSR family).
@@ -46,16 +48,17 @@ def make_tiled_forward(fwd, scale, radius, tile=128):
     def tiled(lr):
         lr = np.asarray(lr)
         b, h, w = lr.shape[:3]
-        if h < tile or w < tile:
-            shapes_used.add((h, w))
-            return fwd(lr)
-        ys = tile_starts(h, tile, stride)
-        xs = tile_starts(w, tile, stride)
-        shapes_used.add((tile, tile))
+        # per-dim tiling: a dim smaller than the tile runs at native size —
+        # elongated images still tile along the long dim (a single program
+        # per distinct small-dim value, never per full shape)
+        th, tw = min(h, tile), min(w, tile)
+        ys = tile_starts(h, th, stride) if h > th else [0]
+        xs = tile_starts(w, tw, stride) if w > tw else [0]
+        shapes_used.add((th, tw))
         out = None
         for y in ys:
             for x in xs:
-                sr_tile = fwd(lr[:, y : y + tile, x : x + tile])
+                sr_tile = fwd(lr[:, y : y + th, x : x + tw])
                 if isinstance(sr_tile, tuple):  # NAS models: (sr, speed)
                     sr_tile = sr_tile[0]
                 sr_tile = np.asarray(sr_tile)
@@ -67,9 +70,9 @@ def make_tiled_forward(fwd, scale, radius, tile=128):
                 # uncontaminated interior; extended to the image edge where
                 # the tile is anchored on the true border
                 vy0 = y if y == 0 else y + radius
-                vy1 = y + tile if y + tile == h else y + tile - radius
+                vy1 = y + th if y + th == h else y + th - radius
                 vx0 = x if x == 0 else x + radius
-                vx1 = x + tile if x + tile == w else x + tile - radius
+                vx1 = x + tw if x + tw == w else x + tw - radius
                 out[:, vy0 * scale : vy1 * scale, vx0 * scale : vx1 * scale] = (
                     sr_tile[
                         :,

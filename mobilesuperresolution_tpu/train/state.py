@@ -35,13 +35,18 @@ def multistep_lr(base_lr, steps_per_epoch, epochs, gamma=0.3, milestones=None):
         milestones = [epochs // 2, epochs * 9 // 10]
     # torch MultiStepLR applies gamma once PER OCCURRENCE of a milestone —
     # duplicate milestones (e.g. [1, 1] from epochs=2 defaults) must compound
-    # to gamma^2, not collapse into one dict key
+    # to gamma^2, not collapse into one dict key. Milestone 0 (epochs=1
+    # defaults) applies from the very first step in torch
+    # (bisect_right([0], 0) == 1), so it folds into the initial value.
     boundaries = {}
+    init = base_lr
     for m in milestones:
         if m > 0:
             step = int(m * steps_per_epoch)
             boundaries[step] = boundaries.get(step, 1.0) * gamma
-    return optax.piecewise_constant_schedule(base_lr, boundaries)
+        else:
+            init = init * gamma
+    return optax.piecewise_constant_schedule(init, boundaries)
 
 
 def multistep_adam(

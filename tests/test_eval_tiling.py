@@ -58,6 +58,38 @@ def test_small_image_native_fallback(model_and_fwd, rng):
     assert (20, 30) in tiled.shapes_used
 
 
+def test_elongated_image_tiles_long_dim(model_and_fwd, rng):
+    """An image smaller than the tile in ONE dim must still tile along the
+    other (bounded memory, one program per distinct small-dim value) and
+    stay bit-identical to the full forward."""
+    model, fwd = model_and_fwd
+    radius = receptive_radius_wdsr(model.num_blocks, 3) + 2
+    tiled = make_tiled_forward(fwd, scale=2, radius=radius, tile=48)
+    for h, w in ((30, 200), (200, 30)):
+        lr = rng.random((1, h, w, 3), dtype=np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(tiled(lr)), np.asarray(fwd(lr)), err_msg=f"{(h, w)}"
+        )
+    # the 2000-px-long dim was tiled: the forward never saw a full-length
+    # window, only (30, 48)/(48, 30) tiles
+    assert (30, 48) in tiled.shapes_used and (48, 30) in tiled.shapes_used
+    assert (30, 200) not in tiled.shapes_used
+
+
+def test_tiled_forward_strips_nas_tuple_uniformly(rng):
+    """(sr, speed)-returning forwards (NAS supernet) must come back as a
+    plain array from BOTH the tiled and the small-image path."""
+
+    def fwd(lr):
+        return lr.repeat(2, axis=1).repeat(2, axis=2), np.float32(7.0)
+
+    tiled = make_tiled_forward(fwd, scale=2, radius=2, tile=16)
+    small = tiled(rng.random((1, 8, 8, 3), dtype=np.float32))
+    big = tiled(rng.random((1, 40, 40, 3), dtype=np.float32))
+    assert isinstance(small, np.ndarray) and small.shape == (1, 16, 16, 3)
+    assert isinstance(big, np.ndarray) and big.shape == (1, 80, 80, 3)
+
+
 def test_hundred_distinct_shapes_one_trace(model_and_fwd, rng):
     """100 distinct eval shapes (the Urban100 scenario) -> ONE compiled
     program. Traces == distinct shapes handed to the jitted forward."""

@@ -299,3 +299,38 @@ def test_nan_guard_skips_update():
     assert not np.array_equal(
         np.asarray(jax.tree_util.tree_leaves(state2.params)[0]), np.asarray(p0)
     )
+
+
+def test_multistep_lr_torch_parity_degenerate_milestones():
+    """torch MultiStepLR semantics: lr(e) = base * gamma^bisect_right(
+    milestones, e). Duplicates compound; milestone 0 (epochs=1 defaults
+    [0, 0]) applies gamma^2 from the very first step."""
+    from mobilesuperresolution_tpu.train.state import multistep_lr
+
+    base, gamma, spe = 1e-3, 0.3, 10
+    # epochs=1 -> default milestones [0, 0]: gamma^2 from step 0
+    sched = multistep_lr(base, spe, epochs=1)
+    np.testing.assert_allclose(float(sched(0)), base * gamma**2, rtol=1e-6)
+    # epochs=2 -> [1, 1]: base until step 10, gamma^2 after
+    sched = multistep_lr(base, spe, epochs=2)
+    np.testing.assert_allclose(float(sched(0)), base, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(15)), base * gamma**2, rtol=1e-6)
+    # normal case [15, 27] of epochs=30
+    sched = multistep_lr(base, spe, epochs=30)
+    np.testing.assert_allclose(float(sched(200)), base * gamma, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(280)), base * gamma**2, rtol=1e-6)
+
+
+def test_nas_speed_table_bounds_rejected():
+    """An undersized measured table must be rejected at trace time — the
+    in-jit lookup would silently clamp channel indices and score wide
+    blocks with the table-edge latency."""
+    import pytest
+
+    from mobilesuperresolution_tpu.models.wdsr_nas import NASModel
+
+    model = NASModel(num_blocks=1, num_residual_units=16, scale=2)
+    x = jnp.zeros((1, 8, 8, 3))
+    small_table = jnp.ones((3, 9, 9), jnp.float32)  # covers only ch<=8
+    with pytest.raises(ValueError, match="re-densify"):
+        model.init(jax.random.key(0), x, small_table)
