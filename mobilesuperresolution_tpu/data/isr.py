@@ -132,8 +132,9 @@ class ImageSRBicubicDataset(ImageSRDataset):
             hr = hr[x : x + hp, y : y + hp]
             lr = imresize_np(hr, scalar_scale=1.0 / p.scale)
             b = p.ignored_boundary_size
-            lr = lr[b:-b, b:-b]
-            hr = hr[hb:-hb, hb:-hb]
+            if b:
+                lr = lr[b:-b, b:-b]
+                hr = hr[hb:-hb, hb:-hb]
         else:
             if hr.shape[0] % p.scale:
                 hr = hr[: -(hr.shape[0] % p.scale)]

@@ -29,7 +29,10 @@ def bind(name):
 
         def update_argparser(parser):
             _vsr.update_argparser(parser)
-            parser.set_defaults(num_patches=2, train_batch_size=2, lr_patch_size=24)
+            # lr_patch_size must fit INSIDE the 24x24 LR frames (96/scale=4) with
+            # the width sampler's 2-px jitter margin — 24 would leave no
+            # valid crop position and crash the first item
+            parser.set_defaults(num_patches=2, train_batch_size=2, lr_patch_size=16)
 
         def get_dataset(mode, params):
             return SyntheticVSRDataset(mode, params)

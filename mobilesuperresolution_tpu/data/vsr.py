@@ -29,7 +29,10 @@ def update_argparser(parser):
     parser.add_argument("--ignored_boundary_size", default=2, type=int)
     parser.add_argument("--num_patches", default=100, type=int)
     parser.add_argument("--image_batch", default=10, type=int)
-    parser.add_argument("--train_sample_patch", default=True)
+    parser.add_argument("--train_sample_patch",
+                        type=lambda v: str(v).lower() != "false",
+                        default=True,
+                        help="False = train on whole frames, no patch crop.")
     parser.set_defaults(train_batch_size=16, eval_batch_size=1, image_mean=0.5)
 
 

@@ -106,22 +106,26 @@ def _ssim_map(x, y, kernel1d, k1=0.01, k2=0.03, data_range=1.0, win_size=11):
 
 
 def ssim(sr, hr, shave=4):
-    """Mean gaussian-weighted SSIM on the Y channel. sr/hr: (H, W, C) or
-    (1, H, W, C) in [0,1]. The 'valid' window means no boundary handling is
-    needed (skimage crops the filter radius, which equals our shrinkage)."""
+    """Gaussian-weighted SSIM on the Y channel. sr/hr: (H, W, C) or
+    (B, H, W, C) in [0,1]; a batch returns the per-image SUM (the same
+    accounting as ``psnr`` — callers divide by their own total). The
+    'valid' window means no boundary handling is needed (skimage crops the
+    filter radius, which equals our shrinkage)."""
     if sr.ndim == 4:
-        sr, hr = sr[0], hr[0]
+        # per-image sum, never a silent first-item pick
+        return sum(ssim(s, h, shave) for s, h in zip(sr, hr))
     x, y = _to_y_pair(sr, hr, shave)
     s = _ssim_map(x, y, _gaussian_kernel1d())
     return jnp.mean(s)
 
 
 def ssim_np(sr, hr, shave=4):
-    """float64 numpy SSIM (host-side golden path for eval parity)."""
+    """float64 numpy SSIM (host-side golden path for eval parity). Batched
+    input returns the per-image SUM like ``ssim``."""
     sr = np.asarray(sr, dtype=np.float64)
     hr = np.asarray(hr, dtype=np.float64)
     if sr.ndim == 4:
-        sr, hr = sr[0], hr[0]
+        return float(sum(ssim_np(s, h, shave) for s, h in zip(sr, hr)))
     sr = np.clip(np.around(sr * 255.0), 0, 255) / 255.0
     w = np.asarray(_SSIM_GRAY, dtype=np.float64)
     x = (sr * w).sum(-1)

@@ -138,6 +138,14 @@ def get_vsr_model(
             remat=remat,
         )
     if model_type == "basic_origin":
+        if scale != 4:
+            raise ValueError(
+                "basic_origin is the faithful x4 BasicVSR — its "
+                "reconstruction is two fixed PixelShuffle(2) stages "
+                "(basicvsr_arch_origin.py:85-94), so scale="
+                f"{scale} would silently compute at x4 and resample; "
+                "use 'basic' for other scales"
+            )
         return BasicVSROrigin(
             num_feat=64,
             num_block=30,

@@ -27,6 +27,13 @@ def rounding(w, least_channel=8):
     hard = (w >= 0.5).astype(w.dtype)
     if least_channel <= 0:
         return hard
+    if w.size < least_channel:
+        # top_k with k > size raises an opaque trace error; say what's wrong
+        raise ValueError(
+            f"gate vector has {w.size} channels but the channel floor "
+            f"(least_channel) is {least_channel} — the supernet needs "
+            f"num_residual_units >= {least_channel}"
+        )
     kth = jax.lax.top_k(w.reshape(-1), least_channel)[0][-1]
     floor = (w >= kth).astype(w.dtype)
     return jnp.where(jnp.sum(hard) >= least_channel, hard, floor)

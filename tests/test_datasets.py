@@ -316,3 +316,64 @@ class TestArrayCacheCompression:
         cache.add("a", np.zeros_like(a))  # ignored: key exists
         np.testing.assert_array_equal(np.asarray(cache.get("a")), a)
         assert cache.added == 1
+
+
+def test_synthetic_vsr_default_flags_work():
+    """The shipped synthetic_vsr defaults must produce a trainable item —
+    lr_patch_size has to fit inside the 24x24 LR frames (96/scale=4) with
+    the width sampler's jitter margin (review: the old default of 24 left
+    no valid crop position and crashed the first item)."""
+    import argparse
+
+    from mobilesuperresolution_tpu.core import modes
+    from mobilesuperresolution_tpu.data import get_dataset_module
+
+    mod = get_dataset_module("synthetic_vsr")
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seed", default=0, type=int)
+    mod.update_argparser(parser)
+    params = parser.parse_args([])
+    ds = mod.get_dataset(modes.TRAIN, params)
+    lr, hr = ds[0]
+    assert lr.shape[1] == lr.shape[2] == params.lr_patch_size
+    assert hr.shape[1] == lr.shape[1] * params.scale
+
+
+def test_train_sample_patch_flag_parses_false():
+    import argparse
+
+    from mobilesuperresolution_tpu.data import vsr as _vsr
+
+    parser = argparse.ArgumentParser()
+    _vsr.update_argparser(parser)
+    assert parser.parse_args(["--train_sample_patch", "False"]).train_sample_patch is False
+    assert parser.parse_args(["--train_sample_patch", "true"]).train_sample_patch is True
+    assert parser.parse_args([]).train_sample_patch is True
+
+
+def test_bicubic_dataset_zero_boundary(tmp_path):
+    """--ignored_boundary_size 0 must train on the full patch, not an empty
+    lr[0:0] slice."""
+    import argparse
+
+    from PIL import Image
+
+    from mobilesuperresolution_tpu.core import modes
+    from mobilesuperresolution_tpu.data.isr import (
+        ImageSRBicubicDataset,
+        update_argparser,
+    )
+
+    rng = np.random.default_rng(0)
+    f = tmp_path / "img.png"
+    Image.fromarray((rng.random((64, 64, 3)) * 255).astype(np.uint8)).save(f)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seed", default=0, type=int)
+    update_argparser(parser)
+    params = parser.parse_args(
+        ["--ignored_boundary_size", "0", "--lr_patch_size", "16"]
+    )
+    ds = ImageSRBicubicDataset(modes.TRAIN, params, [("img", str(f))])
+    lr, hr = ds[0]
+    assert lr.shape == (16, 16, 3)
+    assert hr.shape == (32, 32, 3)

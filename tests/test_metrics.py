@@ -115,3 +115,15 @@ class TestIndependentGoldens:
                 got = float(psnr_y(sr[None], hr[None], shave=shave))
                 want = float(goldens[f"{name}_psnr_y_s{shave}"])
                 assert abs(got - want) < 2e-3, (name, shave, got, want)
+
+
+def test_ssim_batch_is_per_image_sum(rng):
+    """Batched ssim/ssim_np return the per-image SUM (psnr-style
+    accounting), never a silent first-item pick."""
+    from mobilesuperresolution_tpu.metrics import ssim, ssim_np
+
+    sr = rng.random((3, 24, 24, 3)).astype(np.float32)
+    hr = np.clip(sr + rng.normal(0, 0.05, sr.shape), 0, 1).astype(np.float32)
+    want = sum(float(ssim_np(s, h)) for s, h in zip(sr, hr))
+    np.testing.assert_allclose(float(ssim_np(sr, hr)), want, rtol=1e-12)
+    np.testing.assert_allclose(float(ssim(sr, hr)), want, rtol=1e-4)

@@ -353,3 +353,12 @@ class TestTemporalChunking:
         np.testing.assert_array_equal(
             np.asarray(out), np.asarray(m.apply(params, x, h * 2, w * 2))
         )
+
+
+def test_basic_origin_rejects_non_x4():
+    import pytest
+
+    from mobilesuperresolution_tpu.models import get_vsr_model
+
+    with pytest.raises(ValueError, match="x4"):
+        get_vsr_model("basic_origin", scale=2)

@@ -186,3 +186,12 @@ class TestSubpixelConvTranspose:
             np.testing.assert_allclose(
                 np.asarray(fused), np.asarray(ref), atol=1e-4
             )
+
+
+def test_rounding_rejects_undersized_gate():
+    import pytest
+
+    from mobilesuperresolution_tpu.ops.ste import rounding
+
+    with pytest.raises(ValueError, match="num_residual_units"):
+        rounding(jnp.ones(4), least_channel=8)
