@@ -87,7 +87,10 @@ def train_tiny_origin(lr, hr, steps=150, num_feat=8, num_block=1, scale=4,
         model,
         jax.random.key(seed),
         jnp.zeros((1, t_train, h, w, 3)),
-        multistep_adam(1e-3, steps_per_epoch=max(steps, 1), epochs=1),
+        multistep_adam(1e-3, steps_per_epoch=max(steps, 1), epochs=1,
+                       milestones=[]),  # constant LR: epochs=1 default
+        # milestones are [0, 0], which (torch-exactly) would decay to
+        # 0.09e-3 from step 0 — the ladder wants plain 1e-3 throughout
         extra_args=(oh, ow),
     )
     step = make_vsr_step(state, (oh, ow))

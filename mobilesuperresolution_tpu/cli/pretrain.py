@@ -10,6 +10,7 @@ Semantics kept: L1 loss, Adam + MultiStepLR([E/2, 9E/10], γ=0.3)
 the mesh 'data' axis (replacing DDP, SURVEY §5.8); real --resume.
 """
 
+import functools
 import time
 
 import numpy as np
@@ -35,23 +36,44 @@ from mobilesuperresolution_tpu.train.state import create_train_state, multistep_
 from mobilesuperresolution_tpu.train.steps import make_sisr_step
 
 
+@functools.lru_cache(maxsize=8)
+def _jitted_eval_apply(model):
+    # ONE jitted forward per model for the whole run, with params passed as
+    # an ARGUMENT: a per-epoch closure over the weights would constant-fold
+    # them into a fresh executable every epoch (nothing cacheable across
+    # per-epoch eval calls). flax modules are frozen dataclasses — hashable.
+    return jax.jit(lambda p, x: model.apply({"params": p}, x))
+
+
+def _eval_radius(model):
+    """Receptive radius from the MODEL, not flags — retrain_searched parses
+    without the model plugin, so params.num_blocks may not exist. Over-
+    estimating never breaks exactness, only efficiency."""
+    from mobilesuperresolution_tpu.parallel.halo import receptive_radius_wdsr
+
+    if hasattr(model, "idx"):  # searched ResultNet: exact per-block kernels
+        nb = len(model.idx)
+        k = max(b[2] for b in model.idx)
+    else:
+        nb = model.num_blocks
+        k = 3 if type(model).__name__ == "BasicModel" else 7
+    return receptive_radius_wdsr(nb, block_kernel=k) + 2
+
+
 def run_evaluation(params, state, model, eval_mods, logging, epoch):
     p = state.params
     if jax.process_count() > 1:
         # params are replicated over the global mesh; take a local host copy
         # so the chief's eval jit stays a purely local computation
         p = jax.device_get(p)
-    fwd = jax.jit(lambda lr_img: model.apply({"params": p}, lr_img))
+    jitted = _jitted_eval_apply(model)
+    fwd = lambda lr_img: jitted(p, lr_img)
     if getattr(params, "eval_tile", 0):
-        from mobilesuperresolution_tpu.parallel.halo import receptive_radius_wdsr
         from mobilesuperresolution_tpu.train.eval_tiling import make_tiled_forward
 
-        # conservative radius: per-block kernel up to 7 for the NAS/searched
-        # families, 3 for plain WDSR; +2 covers the 5x5 skip path. Over-
-        # estimating the radius never breaks exactness, only efficiency.
-        k = 3 if getattr(params, "model_type", "") == "BASIC_MODEL" else 7
-        radius = receptive_radius_wdsr(params.num_blocks, block_kernel=k) + 2
-        fwd = make_tiled_forward(fwd, params.scale, radius, tile=params.eval_tile)
+        fwd = make_tiled_forward(
+            fwd, params.scale, _eval_radius(model), tile=params.eval_tile
+        )
     results = {}
     for name, mod in eval_mods:
         ds = mod.get_dataset(modes.EVAL, params)

@@ -43,11 +43,24 @@ def main(argv=None):
     )
     logging.info(f"searched architecture: {model.idx}")
 
-    train_ds = dataset_module.get_dataset(modes.TRAIN, params)
-    steps_per_epoch = train_steps_per_epoch(len(train_ds), params.train_batch_size)
+    train_ds = (
+        None if params.eval_only else dataset_module.get_dataset(modes.TRAIN, params)
+    )
+    steps_per_epoch = (
+        train_steps_per_epoch(len(train_ds), params.train_batch_size)
+        if train_ds
+        else 1
+    )
     tx = multistep_adam(params.learning_rate, steps_per_epoch, params.epochs)
     sample = jnp.zeros((1, params.lr_patch_size, params.lr_patch_size, 3))
     state = create_train_state(model, jax.random.key(params.seed), sample, tx)
+
+    if params.eval_model:
+        from mobilesuperresolution_tpu.train.checkpoint import load_params_npz
+
+        state = state.replace(
+            params=load_params_npz(params.eval_model, state.params)
+        )
 
     ckpt = CheckpointManager(params.job_dir)
     start_epoch = 0
@@ -55,6 +68,10 @@ def main(argv=None):
         state, start_epoch = ckpt.restore(state)
 
     eval_mods = eval_modules(params)
+    if params.eval_only:
+        run_evaluation(params, state, model, eval_mods, logging, start_epoch)
+        return
+
     step = make_sisr_step(state)
     with mesh:
         for epoch in range(start_epoch + 1, params.epochs + 1):
@@ -73,9 +90,14 @@ def main(argv=None):
             logging.info(
                 f"epoch {epoch}: loss={meter.avg:.4e} ({time.time() - t0:.1f}s)"
             )
-            run_evaluation(params, state, model, eval_mods, logging, epoch)
-            ckpt.save(epoch, state)
-            save_params_npz(params.job_dir, state.params)
+            if jax.process_index() == 0:
+                # chief-gated like pretrain/search/train_vsr — concurrent
+                # multi-host writers would tear the shared npz artifact
+                run_evaluation(params, state, model, eval_mods, logging, epoch)
+            ckpt.save(epoch, state)  # all processes: orbax coordinates
+            if jax.process_index() == 0:
+                save_params_npz(params.job_dir, state.params)
+    logging.info("Finish Training")
 
 
 if __name__ == "__main__":

@@ -49,8 +49,13 @@ def main(argv=None):
                         "(outputs land in stream<i>/ subdirectories).")
     parser.add_argument("--output_dir", type=str, default=None,
                         help="Where SR PNGs go (default: job_dir/serve).")
-    parser.add_argument("--height", type=int, default=1080)
-    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--height", type=int, default=None,
+                        help="Output frame height (default: input height x "
+                        "scale — an explicit value adds a bilinear resample "
+                        "on top of the model's native x<scale> output).")
+    parser.add_argument("--width", type=int, default=None,
+                        help="Output frame width (default: input width x "
+                        "scale).")
     parser.add_argument("--no_save", action="store_true",
                         help="Skip PNG writes (pure throughput measurement).")
     params, _ = parse_with_plugins(parser, argv, with_models=False)
@@ -86,6 +91,13 @@ def main(argv=None):
     n_streams = len(in_dirs)
     first = load_image(os.path.join(in_dirs[0], per_stream_names[0][0]))
     h, w, c = first.shape
+    # derive the output size from the ACTUAL frames unless overridden — a
+    # fixed default would silently bilinear-resample the model's native
+    # x<scale> output to an unrelated resolution
+    if params.height is None:
+        params.height = h * params.scale
+    if params.width is None:
+        params.width = w * params.scale
 
     window = chunk + 2 * params.chunk_overlap
     sample = jnp.zeros((n_streams, window, h, w, c))

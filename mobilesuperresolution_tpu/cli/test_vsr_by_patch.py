@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from mobilesuperresolution_tpu.cli.common_cli import (
     base_parser,
     eval_modules,
+    load_vsr_eval_params,
     parse_with_plugins,
 )
 from mobilesuperresolution_tpu.cli.train_vsr import add_vsr_args
@@ -32,7 +33,6 @@ from mobilesuperresolution_tpu.data.isr import batch_iterator
 from mobilesuperresolution_tpu.metrics import psnr
 from mobilesuperresolution_tpu.models import get_vsr_model
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
-from mobilesuperresolution_tpu.train.checkpoint import load_params_npz
 from mobilesuperresolution_tpu.train.state import create_train_state, multistep_adam
 
 
@@ -186,7 +186,13 @@ def main(argv=None):
         extra_args=(params.patch_h * params.scale, params.patch_w * params.scale),
     )
     if params.eval_model:
-        state = state.replace(params=load_params_npz(params.eval_model, state.params))
+        # shared loader: npz OR reference/mmedit torch .pth (converted per
+        # family with geometry checks), same as test_vsr/serve
+        state = state.replace(
+            params=load_vsr_eval_params(
+                params.eval_model, params.model_type, model, state.params
+            )
+        )
 
     fwd = jax.jit(
         lambda p, x, oh, ow: model.apply({"params": p}, x, oh, ow),

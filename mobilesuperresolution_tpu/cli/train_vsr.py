@@ -171,11 +171,23 @@ def main(argv=None):
     tx = multistep_adam(
         params.learning_rate, steps_per_epoch, params.epochs, trainable_mask=mask
     )
+    # reuse init_vars — the recurrent init costs minutes over a remote-
+    # compile tunnel and running it twice doubles startup
     state = create_train_state(
-        model, jax.random.key(params.seed), sample, tx, extra_args=out_hw
+        model, jax.random.key(params.seed), sample, tx, extra_args=out_hw,
+        variables=init_vars,
     )
     if params.spynet_weights:
-        key = "spynet" if "spynet" in state.params else "flownet"
+        if "spynet" in state.params:
+            key = "spynet"
+        elif "flownet" in state.params:
+            key = "flownet"
+        else:
+            raise ValueError(
+                f"--spynet_weights given but model_type {params.model_type!r} "
+                "has no flow network ('single' is frame-parallel; 'basic_mv' "
+                "takes flows from the bitstream)"
+            )
         if params.spynet_weights.endswith((".pt", ".pth")):
             # mmedit/reference pretrained SpyNet checkpoint (loaded via the
             # ['params'] key, spynet_arch.py:40)

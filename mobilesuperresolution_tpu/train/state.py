@@ -71,13 +71,16 @@ def multistep_adam(
     return tx
 
 
-def create_train_state(model, rng, sample_input, tx, extra_args=()):
+def create_train_state(model, rng, sample_input, tx, extra_args=(), variables=None):
     # jit the init: eager init dispatches each op separately, which is
     # pathologically slow through a remote-compile tunnel (observed ~40 min
-    # for a 240p recurrent model vs seconds jitted).
-    static = tuple(range(2, 2 + len(extra_args)))
-    init_fn = jax.jit(model.init, static_argnums=static)
-    variables = init_fn(rng, sample_input, *extra_args)
+    # for a 240p recurrent model vs seconds jitted). Callers that already
+    # ran init (e.g. to derive an optimizer mask from the param tree) pass
+    # ``variables`` so the expensive init doesn't run twice.
+    if variables is None:
+        static = tuple(range(2, 2 + len(extra_args)))
+        init_fn = jax.jit(model.init, static_argnums=static)
+        variables = init_fn(rng, sample_input, *extra_args)
     return TrainState(
         step=0,
         params=variables["params"],
