@@ -58,6 +58,12 @@ def main(argv=None):
                         "scale).")
     parser.add_argument("--no_save", action="store_true",
                         help="Skip PNG writes (pure throughput measurement).")
+    parser.add_argument("--arrival_fps", type=float, default=0,
+                        help="Pace input frames at this rate (simulates a "
+                        "live stream; 0 = push as fast as frames decode). "
+                        "With pacing, latency_p50/p95 measure the real "
+                        "arrival→emission latency of live serving instead "
+                        "of batch-drain behavior.")
     params, _ = parse_with_plugins(parser, argv, with_models=False)
     logging = LoggingTool(params.job_dir)
     logging.info(attr_extractor(params))
@@ -164,6 +170,12 @@ def main(argv=None):
                 for d, names in zip(in_dirs, per_stream_names)
             ]
         )
+        if params.arrival_fps > 0:
+            # live-stream pacing: frame i "arrives" at t0 + i/fps
+            due = t0 + i / params.arrival_fps
+            delay = due - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
         push_times.append(time.perf_counter())
         emit(stream.push(frame if n_streams > 1 else frame[0]))
     emit(stream.flush())
@@ -173,6 +185,7 @@ def main(argv=None):
     stats = {
         "streams": n_streams,
         "frames": emitted * n_streams,
+        "arrival_fps": params.arrival_fps or None,
         "fps_end_to_end": round(emitted * n_streams / wall, 2),
         "latency_p50_ms": round(1e3 * float(np.percentile(emit_lat, 50)), 1),
         "latency_p95_ms": round(1e3 * float(np.percentile(emit_lat, 95)), 1),

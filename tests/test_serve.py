@@ -175,3 +175,42 @@ def test_serve_cli_multistream(tmp_path, rng):
         assert len(out) == t
         first = np.asarray(Image.open(job / "serve" / f"stream{s}" / out[0]))
         assert first.shape == (h * 2, w * 2, 3)
+
+
+def test_serve_cli_arrival_pacing(tmp_path, rng):
+    """--arrival_fps paces input; all frames are still emitted and the
+    stats record the pacing."""
+    import json
+
+    from PIL import Image
+
+    from mobilesuperresolution_tpu.cli import serve
+
+    in_dir = tmp_path / "frames"
+    in_dir.mkdir()
+    t, h, w = 5, 16, 20
+    for i in range(t):
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(in_dir / f"{i:04d}.png")
+
+    job = tmp_path / "job"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        serve.main([
+            "--job_dir", str(job),
+            "--input_dir", str(in_dir),
+            "--model_type", "basic",
+            "--scale", "2",
+            "--chunk_frames", "2",
+            "--chunk_overlap", "1",
+            "--arrival_fps", "50",
+            "--no_save",
+        ])
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["frames"] == t
+    assert stats["arrival_fps"] == 50
+    # output size defaulted to input x scale
+    assert stats["out"] is None
