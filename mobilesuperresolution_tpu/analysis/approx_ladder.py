@@ -123,7 +123,8 @@ def run_ladder(
 ):
     """Returns {"exact_psnr": float,
                 "flow_downscale": {d: {"agreement": ..., "delta": ...}},
-                "chunk_overlap":  {ov: {...}}}."""
+                "chunk_overlap":  {ov: {...}},
+                "quantize_int8": {"agreement": ..., "delta": ...}}."""
     from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
     from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
 
@@ -164,6 +165,18 @@ def run_ladder(
             "psnr": _psnr(approx, hr),
             "delta": _psnr(approx, hr) - out["exact_psnr"],
         }
+
+    # int8 dynamic-range convs (ops/quant.py, --quantize int8): same float
+    # params, quantization happens in-graph
+    m_q = BasicVSROrigin(
+        num_feat=num_feat, num_block=num_block, scale=scale, quantized=True
+    )
+    approx = np.asarray(fwd_with(m_q)(jnp.asarray(lr), oh, ow))
+    out["quantize_int8"] = {
+        "agreement": _psnr(approx, exact),
+        "psnr": _psnr(approx, hr),
+        "delta": _psnr(approx, hr) - out["exact_psnr"],
+    }
     return out
 
 
@@ -181,6 +194,11 @@ def format_table(res):
     for ov, r in sorted(res["chunk_overlap"].items()):
         lines.append(
             f"| chunk_overlap={ov} | {r['agreement']:.1f} | {r['delta']:+.3f} |"
+        )
+    if "quantize_int8" in res:
+        r = res["quantize_int8"]
+        lines.append(
+            f"| quantize=int8 | {r['agreement']:.1f} | {r['delta']:+.3f} |"
         )
     return "\n".join(lines)
 

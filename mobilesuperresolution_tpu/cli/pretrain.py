@@ -108,6 +108,10 @@ def main(argv=None):
     logging.info(attr_extractor(params))
     if params.debug:
         jax.config.update("jax_debug_nans", True)
+    if getattr(params, "quantize", "none") != "none" and not params.eval_only:
+        # round() has zero gradient a.e. — a quantized forward would
+        # silently stop training
+        raise SystemExit("--quantize is inference-only: add --eval_only")
 
     mesh = make_mesh(spatial=params.spatial_shards)
     model = get_model(params)

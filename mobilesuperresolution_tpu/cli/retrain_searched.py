@@ -29,6 +29,10 @@ def main(argv=None):
     parser = base_parser("Retrain searched architecture (TPU)")
     parser.add_argument("--block_index", type=str, required=True,
                         help="Path to block_index.txt (or its job dir).")
+    parser.add_argument("--quantize", choices=["none", "int8"], default="none",
+                        help="int8 dynamic-range inference convs for the "
+                        "searched net (the model the reference deploys as "
+                        "int8 TFLite); --eval_only runs only.")
     params, dataset_module = parse_with_plugins(parser, argv, with_models=False)
     logging = LoggingTool(params.job_dir)
     logging.info(attr_extractor(params))
@@ -36,10 +40,13 @@ def main(argv=None):
         # the reference's --debug anomaly detection (search.py:224-228)
         jax.config.update("jax_debug_nans", True)
 
+    if params.quantize != "none" and not params.eval_only:
+        raise SystemExit("--quantize is inference-only: add --eval_only")
     mesh = make_mesh(spatial=1)
     dtype = jnp.bfloat16 if params.bf16 else jnp.float32
     model = ResultNet.from_artifact(
-        params.block_index, scale=params.scale, compute_dtype=dtype
+        params.block_index, scale=params.scale, compute_dtype=dtype,
+        quantized=params.quantize == "int8",
     )
     logging.info(f"searched architecture: {model.idx}")
 

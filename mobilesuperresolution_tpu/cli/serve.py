@@ -76,6 +76,7 @@ def main(argv=None):
         block_index_path=params.model_path,
         compute_dtype=dtype,
         flow_downscale=getattr(params, "flow_downscale", 1),
+        quantized=getattr(params, "quantize", "none") == "int8",
     )
 
     in_dirs = [d for d in params.input_dir.split(",") if d]

@@ -33,6 +33,7 @@ def main(argv=None):
         block_index_path=params.model_path,
         compute_dtype=dtype,
         flow_downscale=getattr(params, "flow_downscale", 1),
+        quantized=getattr(params, "quantize", "none") == "int8",
     )
     c_in = 5 if params.model_type == "basic_mv" else 3
     t = params.image_batch

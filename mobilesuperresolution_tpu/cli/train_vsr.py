@@ -76,6 +76,12 @@ def add_vsr_args(parser):
                         "length, identical gradients (basic/basic_mv/"
                         "basic_origin) — train longer --image_batch clips "
                         "than activation memory would allow.")
+    parser.add_argument("--quantize", choices=["none", "int8"], default="none",
+                        help="int8 dynamic-range inference convs for SpyNet "
+                        "+ propagation trunks (BasicVSR family) on the TPU "
+                        "int8 MXU path — the numerics class of the "
+                        "reference's TFLite deployment. Approximate "
+                        "(quality ladder in DESIGN.md); inference only.")
 
 
 def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
@@ -143,6 +149,11 @@ def main(argv=None):
         # the reference's --debug anomaly detection (search.py:224-228)
         jax.config.update("jax_debug_nans", True)
 
+    if getattr(params, "quantize", "none") != "none":
+        raise SystemExit(
+            "--quantize is inference-only (use test_vsr / serve); training "
+            "runs the exact float path like the reference"
+        )
     mesh = make_mesh(spatial=1)
     dtype = jnp.bfloat16 if params.bf16 else jnp.float32
     model = get_vsr_model(

@@ -39,6 +39,11 @@ def update_argparser(parser):
     parser.add_argument("--pretrained_path", type=str, default=None,
                         help="Reference wdsr_b_x<scale>_<blocks>_<units>"
                         ".pt checkpoint for --pretrained.")
+    parser.add_argument("--quantize", choices=["none", "int8"], default="none",
+                        help="int8 dynamic-range inference convs (the "
+                        "numerics class of the reference's int8 TFLite "
+                        "deployment) on the TPU int8 MXU path. "
+                        "BASIC_MODEL, --eval_only runs only.")
     parser.set_defaults(image_mean=0.5, num_channels=3)
 
 
@@ -54,8 +59,14 @@ def get_model(params):
         image_mean=getattr(params, "image_mean", 0.5),
         compute_dtype=dtype,
     )
+    quantized = getattr(params, "quantize", "none") == "int8"
+    if quantized and params.model_type != "BASIC_MODEL":
+        raise ValueError(
+            "--quantize int8 applies to BASIC_MODEL (and ResultNet via "
+            "retrain_searched); the NAS supernet trains and must stay float"
+        )
     if params.model_type == "BASIC_MODEL":
-        return BasicModel(**common)
+        return BasicModel(quantized=quantized, **common)
     if params.model_type == "NAS_MODEL":
         return NASModel(
             width_search=getattr(params, "width_search", True),
@@ -72,6 +83,7 @@ def get_vsr_model(
     compute_dtype=jnp.float32,
     flow_downscale=1,
     remat=False,
+    quantized=False,
 ):
     """Build a VSR model by type string ('single' | 'multi' | 'multi_v1' |
     'basic' | 'basic_mv' | 'basic_origin'), with the reference's canonical sizes
@@ -88,7 +100,13 @@ def get_vsr_model(
     pass — O(T) → O(1) activation memory in clip length (SURVEY §5.7; the
     gradients are identical, tested). Only meaningful for the recurrent
     BasicVSR family ('basic', 'basic_mv', 'basic_origin'); rejected for
-    the frame-parallel types rather than silently ignored."""
+    the frame-parallel types rather than silently ignored.
+
+    quantized: int8 dynamic-range inference convs for SpyNet + propagation
+    trunks (ops/quant.py — the numerics class of the reference's int8
+    TFLite deployment, onnx_tflite.py:1-10, on the TPU int8 MXU path).
+    Opt-in inference-only trade like flow_downscale; implemented for the
+    BasicVSR family."""
     if flow_downscale < 1:
         raise ValueError(f"flow_downscale must be >= 1, got {flow_downscale}")
     if flow_downscale != 1 and model_type not in ("basic", "basic_origin", "multi"):
@@ -103,6 +121,11 @@ def get_vsr_model(
             f"('basic'/'basic_mv'/'basic_origin'), not {model_type!r} — "
             "'single'/'multi' are frame-parallel (no temporal scan to "
             "rematerialize) and 'multi_v1' does not implement it"
+        )
+    if quantized and model_type not in ("basic", "basic_mv", "basic_origin"):
+        raise ValueError(
+            f"quantized int8 inference is implemented for the BasicVSR "
+            f"family ('basic'/'basic_mv'/'basic_origin'), not {model_type!r}"
         )
     if model_type == "single":
         return SingleImageModel(
@@ -131,11 +154,12 @@ def get_vsr_model(
             compute_dtype=compute_dtype,
             flow_downscale=flow_downscale,
             remat=remat,
+            quantized=quantized,
         )
     if model_type == "basic_mv":
         return MotionVectorVSR(
             num_feat=20, num_block=8, scale=scale, compute_dtype=compute_dtype,
-            remat=remat,
+            remat=remat, quantized=quantized,
         )
     if model_type == "basic_origin":
         if scale != 4:
@@ -153,5 +177,6 @@ def get_vsr_model(
             compute_dtype=compute_dtype,
             flow_downscale=flow_downscale,
             remat=remat,
+            quantized=quantized,
         )
     raise KeyError(f"unknown VSR model_type {model_type!r}")

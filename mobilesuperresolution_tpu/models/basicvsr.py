@@ -41,6 +41,7 @@ from mobilesuperresolution_tpu.ops.layers import (
     torch_bias_init,
     torch_conv_init,
 )
+from mobilesuperresolution_tpu.ops.quant import conv2d_maybe_quantized
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 from mobilesuperresolution_tpu.ops.warp import flow_warp
 
@@ -64,6 +65,7 @@ class _DualTrunk(nn.Module):
 
     num_feat: int
     num_block: int
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, y):
@@ -87,11 +89,8 @@ class _DualTrunk(nn.Module):
             return k, b
 
         def conv(z, k, b):
-            return (
-                jax.lax.conv_general_dilated(
-                    z, k, (1, 1), "SAME", dimension_numbers=dn
-                )
-                + b
+            return conv2d_maybe_quantized(
+                z, k, b, quantized=self.quantized, dimension_numbers=dn
             )
 
         k0, b0 = dual_conv("conv0", cin, nf)
@@ -111,6 +110,7 @@ class _MergedPropagationStep(nn.Module):
 
     num_feat: int
     num_block: int
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, feat_prop, xs):
@@ -119,13 +119,15 @@ class _MergedPropagationStep(nn.Module):
         b = feat_prop.shape[0] // 2
         inp = jnp.concatenate([x_i, feat_prop], axis=-1)  # (2B, H, W, C+nf)
         y = jnp.concatenate([inp[:b], inp[b:]], axis=-1)  # (B, .., 2(C+nf))
-        y = _DualTrunk(self.num_feat, self.num_block, name="trunks")(y)
+        y = _DualTrunk(
+            self.num_feat, self.num_block, quantized=self.quantized, name="trunks"
+        )(y)
         nf = self.num_feat
         feat = jnp.concatenate([y[..., :nf], y[..., nf:]], axis=0)  # (2B,..,nf)
         return feat, feat
 
 
-def _scan_propagation(num_feat, num_block, remat=False, unroll=5):
+def _scan_propagation(num_feat, num_block, remat=False, unroll=5, quantized=False):
     """remat=True recomputes each step's trunks in the backward pass instead
     of storing their activations — O(T) → O(1) activation memory in clip
     length, the standard trade for long-clip training (SURVEY §5.7).
@@ -140,7 +142,8 @@ def _scan_propagation(num_feat, num_block, remat=False, unroll=5):
         in_axes=0,
         out_axes=0,
         unroll=1 if remat else unroll,
-    )(num_feat=num_feat, num_block=num_block, name="propagation")
+    )(num_feat=num_feat, num_block=num_block, quantized=quantized,
+      name="propagation")
 
 
 class BasicVSRBase(nn.Module):
@@ -157,6 +160,11 @@ class BasicVSRBase(nn.Module):
     # ~3/4 of it. Opt-in speed/quality trade — d=1 (default) is the exact
     # reference computation (basicvsr_arch.py:45-54).
     flow_downscale: int = 1
+    # int8 dynamic-range quantized convs for SpyNet + propagation trunks
+    # (ops/quant.py — the reference's TFLite deployment numerics on the TPU
+    # int8 MXU path). Opt-in; off = exact reference computation. The
+    # reconstruction convs stay float (small cost share, output-adjacent).
+    quantized: bool = False
 
     def _flows(self, x):
         """x: (B, T, H, W, C) → (flows_forward, flows_backward), each
@@ -169,7 +177,9 @@ class BasicVSRBase(nn.Module):
         x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
         ref = jnp.concatenate([x1, x2], axis=0)
         supp = jnp.concatenate([x2, x1], axis=0)
-        flows = upsample_flow(SpyNet(name="spynet")(ref, supp), h, w)
+        flows = upsample_flow(
+            SpyNet(name="spynet", quantized=self.quantized)(ref, supp), h, w
+        )
         fb = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
         ff = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
         # time-major for scan
@@ -195,9 +205,9 @@ class BasicVSRBase(nn.Module):
             ],
             axis=1,
         )
-        _, out = _scan_propagation(self.num_feat, self.num_block, self.remat)(
-            init, (frames, flows)
-        )
+        _, out = _scan_propagation(
+            self.num_feat, self.num_block, self.remat, quantized=self.quantized
+        )(init, (frames, flows))
         out_b = out[:, :b][::-1]  # back to forward time order
         out_f = out[:, b:]
         return jnp.moveaxis(out_b, 0, 1), jnp.moveaxis(out_f, 0, 1)

@@ -23,6 +23,7 @@ class _SplitConvBlock(nn.Module):
     channels_in: int
     split: int
     kernel_size: int
+    quantized: bool = False  # int8 dynamic-range convs (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
@@ -31,7 +32,8 @@ class _SplitConvBlock(nn.Module):
             x1, x2 = x[..., :passthrough], x[..., passthrough:]
         else:
             x1, x2 = None, x
-        y = WNConv(self.split, self.kernel_size, g_init=None)(x2)
+        y = WNConv(self.split, self.kernel_size, g_init=None,
+                   quantized=self.quantized)(x2)
         y = nn.relu(y)
         x2 = y + x2
         if x1 is not None:
@@ -47,6 +49,9 @@ class ResultNet(nn.Module):
     idx: Tuple[Tuple[int, int, int], ...]
     image_mean: float = 0.5
     compute_dtype: Any = jnp.float32
+    # int8 dynamic-range inference convs (ops/quant.py) — this searched net
+    # is exactly what the reference deploys as int8 TFLite; inference-only.
+    quantized: bool = False
 
     @classmethod
     def from_artifact(cls, path, scale, **kw):
@@ -61,11 +66,13 @@ class ResultNet(nn.Module):
         )
         num_outputs = self.scale * self.scale * 3
         ch = self.idx[0][0]
-        y = WNConv(ch, 3, g_init=None, name="head")(x)
+        q = self.quantized
+        y = WNConv(ch, 3, g_init=None, name="head", quantized=q)(x)
         for i, (cin, split, kernel) in enumerate(self.idx):
-            y = _SplitConvBlock(cin, split, kernel, name=f"block_{i}")(y)
-        y = WNConv(num_outputs, 3, g_init=None, name="tail")(y)
-        y = y + WNConv(num_outputs, 5, g_init=None, name="skip")(x)
+            y = _SplitConvBlock(cin, split, kernel, quantized=q,
+                                name=f"block_{i}")(y)
+        y = WNConv(num_outputs, 3, g_init=None, name="tail", quantized=q)(y)
+        y = y + WNConv(num_outputs, 5, g_init=None, name="skip", quantized=q)(x)
         if self.scale > 1:
             y = depth_to_space(y, self.scale)
         # reference never re-adds image_mean here (result_net.py:89-93)

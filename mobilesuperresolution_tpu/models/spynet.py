@@ -24,6 +24,7 @@ from mobilesuperresolution_tpu.ops.layers import (
     torch_bias_init,
     torch_conv_init,
 )
+from mobilesuperresolution_tpu.ops.quant import conv2d_maybe_quantized
 from mobilesuperresolution_tpu.ops.resize import avg_pool_2x2, replicate_pad_hw, resize_bilinear
 from mobilesuperresolution_tpu.ops.s2d_conv import s2d_transform_weights
 from mobilesuperresolution_tpu.ops.warp import flow_warp
@@ -45,6 +46,7 @@ class SpyNetBasicModule(nn.Module):
     """
 
     use_s2d: bool = True
+    quantized: bool = False  # int8 dynamic-range convs (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
@@ -63,17 +65,19 @@ class SpyNetBasicModule(nn.Module):
             y = space_to_depth(x, 2)
             for i in range(5):
                 w2 = s2d_transform_weights(kernels[i].astype(y.dtype))
-                y = jax.lax.conv_general_dilated(
-                    y, w2, (1, 1), "SAME", dimension_numbers=dn
-                ) + jnp.repeat(biases[i].astype(y.dtype), 4)
+                y = conv2d_maybe_quantized(
+                    y, w2, jnp.repeat(biases[i].astype(y.dtype), 4),
+                    quantized=self.quantized, dimension_numbers=dn,
+                )
                 if i < 4:
                     y = nn.relu(y)
             return depth_to_space(y, 2)
         y = x
         for i in range(5):
-            y = jax.lax.conv_general_dilated(
-                y, kernels[i].astype(y.dtype), (1, 1), "SAME", dimension_numbers=dn
-            ) + biases[i].astype(y.dtype)
+            y = conv2d_maybe_quantized(
+                y, kernels[i].astype(y.dtype), biases[i].astype(y.dtype),
+                quantized=self.quantized, dimension_numbers=dn,
+            )
             if i < 4:
                 y = nn.relu(y)
         return y
@@ -83,6 +87,7 @@ class SpyNet(nn.Module):
     """Returns flow (N, H, W, 2) with channel 0 = dx, 1 = dy, in input pixels."""
 
     levels: int = 6
+    quantized: bool = False  # int8 dynamic-range convs in every BasicModule
 
     def _preprocess(self, x):
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
@@ -107,7 +112,10 @@ class SpyNet(nn.Module):
 
         h0, w0 = refs[0].shape[1:3]
         flow = jnp.zeros((n, max(h0 // 2, 1), max(w0 // 2, 1), 2), ref.dtype)
-        modules = [SpyNetBasicModule(name=f"level_{i}") for i in range(self.levels)]
+        modules = [
+            SpyNetBasicModule(quantized=self.quantized, name=f"level_{i}")
+            for i in range(self.levels)
+        ]
         for level in range(self.levels):
             th, tw = refs[level].shape[1:3]
             up = (

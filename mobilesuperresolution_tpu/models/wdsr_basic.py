@@ -25,14 +25,16 @@ class BasicBlock(nn.Module):
     res_scale: float = 1.0
     expand: float = 6.0
     linear: float = 0.84
+    quantized: bool = False  # int8 dynamic-range convs (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
         r = self.num_residual_units
-        y = WNConv(int(r * self.expand), 1, g_init=2.0)(x)
+        q = self.quantized
+        y = WNConv(int(r * self.expand), 1, g_init=2.0, quantized=q)(x)
         y = nn.relu(y)
-        y = WNConv(int(r * self.linear), 1, g_init=2.0)(y)
-        y = WNConv(r, self.kernel_size, g_init=self.res_scale)(y)
+        y = WNConv(int(r * self.linear), 1, g_init=2.0, quantized=q)(y)
+        y = WNConv(r, self.kernel_size, g_init=self.res_scale, quantized=q)(y)
         return x + y
 
 
@@ -45,6 +47,10 @@ class BasicModel(nn.Module):
     num_channels: int = 3
     image_mean: float = 0.5
     compute_dtype: Any = jnp.float32
+    # int8 dynamic-range inference convs (ops/quant.py) — the numerics class
+    # of the reference's int8 TFLite deployment of this net, on the TPU int8
+    # MXU path. Inference-only (round() kills gradients); same param tree.
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -53,13 +59,14 @@ class BasicModel(nn.Module):
             self.image_mean, self.compute_dtype
         )
         num_outputs = self.scale * self.scale * self.num_channels
-        y = WNConv(self.num_residual_units, 3, g_init=1.0)(x)
+        q = self.quantized
+        y = WNConv(self.num_residual_units, 3, g_init=1.0, quantized=q)(x)
         res_scale = 1.0 / math.sqrt(self.num_blocks)
         for _ in range(self.num_blocks):
-            y = BasicBlock(self.num_residual_units, 3, res_scale)(y)
-        y = WNConv(num_outputs, 3, g_init=1.0)(y)
+            y = BasicBlock(self.num_residual_units, 3, res_scale, quantized=q)(y)
+        y = WNConv(num_outputs, 3, g_init=1.0, quantized=q)(y)
         if self.num_channels != num_outputs:
-            y = y + WNConv(num_outputs, 5, g_init=1.0)(x)
+            y = y + WNConv(num_outputs, 5, g_init=1.0, quantized=q)(x)
         else:
             y = y + x
         if self.scale > 1:

@@ -51,6 +51,10 @@ class WNConv(nn.Module):
     g_init: Optional[float] = 1.0
     use_bias: bool = True
     feature_group_count: int = 1
+    # int8 dynamic-range inference path (ops/quant.py): quantizes the
+    # weight-normalized effective kernel per-output-channel and the input
+    # per-tensor. Same params as the float path (quantization is in-graph).
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -66,14 +70,21 @@ class WNConv(nn.Module):
         g = self.param("g", g_init_fn, (self.features,), jnp.float32)
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2)) + 1e-12)
         kernel = (g / norm) * v
-        y = nn.Conv(
-            features=self.features,
-            kernel_size=(k, k),
-            padding="SAME",
-            use_bias=False,
-            feature_group_count=self.feature_group_count,
-            dtype=x.dtype,
-        ).apply({"params": {"kernel": kernel}}, x)
+        if self.quantized:
+            from mobilesuperresolution_tpu.ops.quant import qconv2d
+
+            y = qconv2d(
+                x, kernel, feature_group_count=self.feature_group_count
+            )
+        else:
+            y = nn.Conv(
+                features=self.features,
+                kernel_size=(k, k),
+                padding="SAME",
+                use_bias=False,
+                feature_group_count=self.feature_group_count,
+                dtype=x.dtype,
+            ).apply({"params": {"kernel": kernel}}, x)
         if self.use_bias:
             b = self.param(
                 "b", nn.initializers.zeros, (self.features,), jnp.float32

@@ -56,3 +56,10 @@ def test_deltas_are_small_but_nonzero(ladder):
     for group in ("flow_downscale", "chunk_overlap"):
         for r in ladder[group].values():
             assert abs(r["delta"]) < 3.0, (group, r)
+
+
+def test_quantize_int8_rung(ladder):
+    r = ladder["quantize_int8"]
+    # int8 perturbs the output (finite agreement) without destroying it
+    assert np.isfinite(r["agreement"]) and r["agreement"] > 25.0, r
+    assert abs(r["delta"]) < 3.0, r
