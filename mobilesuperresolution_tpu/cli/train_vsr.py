@@ -77,11 +77,11 @@ def add_vsr_args(parser):
                         "basic_origin) — train longer --image_batch clips "
                         "than activation memory would allow.")
     parser.add_argument("--quantize", choices=["none", "int8"], default="none",
-                        help="int8 dynamic-range inference convs for SpyNet "
-                        "+ propagation trunks (BasicVSR family) on the TPU "
+                        help="int8 dynamic-range inference convs on the TPU "
                         "int8 MXU path — the numerics class of the "
-                        "reference's TFLite deployment. Approximate "
-                        "(quality ladder in DESIGN.md); inference only.")
+                        "reference's TFLite deployment (all model types "
+                        "except multi_v1). Approximate (quality ladder in "
+                        "DESIGN.md); inference only.")
 
 
 def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):

@@ -102,11 +102,13 @@ def get_vsr_model(
     BasicVSR family ('basic', 'basic_mv', 'basic_origin'); rejected for
     the frame-parallel types rather than silently ignored.
 
-    quantized: int8 dynamic-range inference convs for SpyNet + propagation
-    trunks (ops/quant.py — the numerics class of the reference's int8
-    TFLite deployment, onnx_tflite.py:1-10, on the TPU int8 MXU path).
-    Opt-in inference-only trade like flow_downscale; implemented for the
-    BasicVSR family."""
+    quantized: int8 dynamic-range inference convs (ops/quant.py — the
+    numerics class of the reference's int8 TFLite deployment,
+    onnx_tflite.py:1-10, on the TPU int8 MXU path): SpyNet + propagation
+    trunks for the BasicVSR family, SpyNet + encoder/blocks/decode for
+    'multi', the conv body for 'single' (reconstruction convs stay float —
+    output-adjacent, small cost share). Opt-in inference-only trade like
+    flow_downscale; not implemented for the historical 'multi_v1'."""
     if flow_downscale < 1:
         raise ValueError(f"flow_downscale must be >= 1, got {flow_downscale}")
     if flow_downscale != 1 and model_type not in ("basic", "basic_origin", "multi"):
@@ -122,14 +124,15 @@ def get_vsr_model(
             "'single'/'multi' are frame-parallel (no temporal scan to "
             "rematerialize) and 'multi_v1' does not implement it"
         )
-    if quantized and model_type not in ("basic", "basic_mv", "basic_origin"):
+    if quantized and model_type == "multi_v1":
         raise ValueError(
-            f"quantized int8 inference is implemented for the BasicVSR "
-            f"family ('basic'/'basic_mv'/'basic_origin'), not {model_type!r}"
+            "quantized int8 inference is not implemented for 'multi_v1' "
+            "(historical per-block-carry variant) — use 'multi'"
         )
     if model_type == "single":
         return SingleImageModel(
-            scale=scale, channel=32, blocks=8, kernel=3, compute_dtype=compute_dtype
+            scale=scale, channel=32, blocks=8, kernel=3,
+            compute_dtype=compute_dtype, quantized=quantized,
         )
     if model_type == "multi":
         if block_index_path is None:
@@ -139,6 +142,7 @@ def get_vsr_model(
             scale=scale,
             compute_dtype=compute_dtype,
             flow_downscale=flow_downscale,
+            quantized=quantized,
         )
     if model_type == "multi_v1":
         if block_index_path is None:

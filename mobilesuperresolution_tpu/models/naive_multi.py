@@ -40,12 +40,15 @@ class _PlainBlock(nn.Module):
 
     features: int
     kernel_size: int
+    quantized: bool = False  # int8 dynamic-range convs (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
-        x = PlainConv(self.features, self.kernel_size)(x)
+        x = PlainConv(self.features, self.kernel_size,
+                      quantized=self.quantized)(x)
         x = nn.relu(x)
-        x = PlainConv(self.features, self.kernel_size)(x)
+        x = PlainConv(self.features, self.kernel_size,
+                      quantized=self.quantized)(x)
         return x
 
 
@@ -56,6 +59,9 @@ class NaiveMultiModel(nn.Module):
     # >1: SpyNet on 1/d-res frames, flow upsampled with rescaled values —
     # same opt-in speed/quality trade as BasicVSRBase.flow_downscale.
     flow_downscale: int = 1
+    # int8 dynamic-range inference convs (SpyNet + encoder + blocks + decode;
+    # ops/quant.py). Inference-only.
+    quantized: bool = False
 
     @classmethod
     def from_artifact(cls, path, scale, **kw):
@@ -74,14 +80,17 @@ class NaiveMultiModel(nn.Module):
         xf = downscale_frames(x, fh, fw)
         x1 = xf[:, :-1].reshape(b * (t - 1), fh, fw, c)
         x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
-        ff = upsample_flow(SpyNet(name="flownet")(x2, x1), h, w)
+        ff = upsample_flow(
+            SpyNet(name="flownet", quantized=self.quantized)(x2, x1), h, w
+        )
         ff = ff.reshape(b, t - 1, h, w, 2)
         # frame 0: zero flow (naive_multi_model_easy.py:125-128); explicit
         # shape so T=1 clips work
         flows = jnp.concatenate([jnp.zeros((b, 1, h, w, 2), x.dtype), ff], axis=1)
 
         # one batched encoder pass over all frames
-        enc = WNConv(ch, 3, g_init=None, name="encode")(
+        enc = WNConv(ch, 3, g_init=None, name="encode",
+                     quantized=self.quantized)(
             x.reshape(b * t, h, w, c)
         ).reshape(b, t, h, w, ch)
         # previous-frame encodings, frame 0 warps its own (warp(enc0, 0)=enc0)
@@ -96,10 +105,12 @@ class NaiveMultiModel(nn.Module):
                 x_c = jnp.concatenate([flows.reshape(b * t, h, w, 2), x_warp, y], -1)
             else:
                 x_c = y
-            y = _PlainBlock(ch, kernel, name=f"block_{i}")(x_c) + y
+            y = _PlainBlock(ch, kernel, quantized=self.quantized,
+                            name=f"block_{i}")(x_c) + y
 
         num_outputs = self.scale * self.scale * 3
-        out = WNConv(num_outputs, 3, g_init=None, name="decode")(y)
+        out = WNConv(num_outputs, 3, g_init=None, name="decode",
+                     quantized=self.quantized)(y)
         out = depth_to_space(out, self.scale)
         base = resize_bilinear(
             x.reshape(b * t, h, w, c),

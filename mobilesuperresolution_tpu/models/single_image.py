@@ -25,12 +25,14 @@ class _DoubleConv(nn.Module):
 
     features: int
     kernel_size: int
+    quantized: bool = False  # int8 dynamic-range convs (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
-        x = WNConv(self.features, self.kernel_size, g_init=None)(x)
+        q = self.quantized
+        x = WNConv(self.features, self.kernel_size, g_init=None, quantized=q)(x)
         x = nn.relu(x)
-        x = WNConv(self.features, self.kernel_size, g_init=None)(x)
+        x = WNConv(self.features, self.kernel_size, g_init=None, quantized=q)(x)
         return x
 
 
@@ -40,6 +42,9 @@ class SingleImageModel(nn.Module):
     blocks: int = 8
     kernel: int = 3
     compute_dtype: Any = jnp.float32
+    # int8 dynamic-range inference convs (ops/quant.py); the sub-pixel
+    # reconstruction stays float (output-adjacent). Inference-only.
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, height=1080, width=1920):
@@ -48,11 +53,13 @@ class SingleImageModel(nn.Module):
         b, t, h, w, c = x.shape
         xf = x.reshape(b * t, h, w, c)
 
-        y = WNConv(self.channel, 3, g_init=None, name="encoder")(xf)
+        q = self.quantized
+        y = WNConv(self.channel, 3, g_init=None, name="encoder", quantized=q)(xf)
         z = y
         for i in range(self.blocks):
-            z = _DoubleConv(self.channel, self.kernel, name=f"block_{i}")(z) + z
-        z = WNConv(self.channel, 3, g_init=None, name="body_tail")(z)
+            z = _DoubleConv(self.channel, self.kernel, quantized=q,
+                            name=f"block_{i}")(z) + z
+        z = WNConv(self.channel, 3, g_init=None, name="body_tail", quantized=q)(z)
         y = z + y
         y = SubpixelConvTranspose(
             3, kernel_size=5, stride=self.scale, name="shuf"

@@ -93,6 +93,37 @@ class WNConv(nn.Module):
         return y
 
 
+class _QConvParams(nn.Module):
+    """int8 dynamic-range conv whose params mirror nn.Conv's ({kernel, bias},
+    same shapes/inits) — PlainConv's quantized branch, scope-named "Conv_0"
+    so float checkpoints load into the quantized model unchanged."""
+
+    features: int
+    kernel_size: int
+    use_bias: bool
+    feature_group_count: int
+
+    @nn.compact
+    def __call__(self, x):
+        from mobilesuperresolution_tpu.ops.quant import qconv2d
+
+        k = self.kernel_size
+        in_ch = x.shape[-1] // self.feature_group_count
+        fan_in = in_ch * k * k
+        kernel = self.param(
+            "kernel", torch_conv_init, (k, k, in_ch, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", torch_bias_init(fan_in), (self.features,),
+                       jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return qconv2d(
+            x, kernel, bias=bias, feature_group_count=self.feature_group_count
+        )
+
+
 class PlainConv(nn.Module):
     """Plain conv with torch-default init (for the VSR models, which do not use
     weight norm — models/basicvsr_arch.py)."""
@@ -101,10 +132,21 @@ class PlainConv(nn.Module):
     kernel_size: int = 3
     use_bias: bool = True
     feature_group_count: int = 1
+    quantized: bool = False  # int8 dynamic-range inference path (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
         fan_in = (x.shape[-1] // self.feature_group_count) * self.kernel_size**2
+        if self.quantized:
+            # param holder named like nn.Conv's default scope so the tree is
+            # IDENTICAL to the float path (checkpoints load unchanged)
+            return _QConvParams(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                use_bias=self.use_bias,
+                feature_group_count=self.feature_group_count,
+                name="Conv_0",
+            )(x)
         y = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),

@@ -123,9 +123,30 @@ class TestQuantizedModels:
         assert y.shape == (1, 2, 32, 32, 3) and bool(jnp.all(jnp.isfinite(y)))
 
     def test_registry_rejects_unsupported_types(self):
-        for mt in ("single", "multi", "multi_v1"):
-            with pytest.raises(ValueError, match="quantized"):
-                get_vsr_model(mt, scale=4, block_index_path="x", quantized=True)
+        with pytest.raises(ValueError, match="quantized"):
+            get_vsr_model("multi_v1", scale=4, block_index_path="x",
+                          quantized=True)
+
+    @pytest.mark.parametrize("model_type", ["single", "multi"])
+    def test_quantized_frame_parallel_models(self, rng, tmp_path, model_type):
+        kw = {}
+        if model_type == "multi":
+            p = tmp_path / "block_index.txt"
+            p.write_text("([0, 1], [[8, 8, 3], [8, 6, 5]])\n")
+            kw["block_index_path"] = str(p)
+        me = get_vsr_model(model_type, scale=2, **kw)
+        mq = get_vsr_model(model_type, scale=2, quantized=True, **kw)
+        x = jnp.asarray(rng.random((1, 2, 16, 16, 3)), jnp.float32)
+        p0 = jax.jit(lambda k, x: me.init(k, x, 32, 32))(jax.random.PRNGKey(0), x)
+        pq = jax.jit(lambda k, x: mq.init(k, x, 32, 32))(jax.random.PRNGKey(0), x)
+        # same tree: float checkpoints load into the quantized model
+        assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(pq)
+        for a, b in zip(jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(pq)):
+            assert a.shape == b.shape
+        ye = jax.jit(lambda p, x: me.apply(p, x, 32, 32))(p0, x)
+        yq = jax.jit(lambda p, x: mq.apply(p, x, 32, 32))(p0, x)
+        err = float(jnp.max(jnp.abs(yq - ye)))
+        assert 0 < err < 0.05
 
     def test_quantized_wdsr_basic_close_to_exact(self, rng):
         from mobilesuperresolution_tpu.models.wdsr_basic import BasicModel
