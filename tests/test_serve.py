@@ -48,6 +48,32 @@ def test_streaming_matches_chunked(tiny_vsr, rng):
     np.testing.assert_array_equal(np.stack(got)[None], want)
 
 
+def test_streaming_matches_chunked_quantized(rng):
+    """The serve/batch bit-identity contract holds for the int8 quantized
+    model too (dynamic activation scales are a pure function of the window
+    content, and streamed windows == chunked windows)."""
+    model = BasicVSR(num_feat=8, num_block=1, scale=2, quantized=True)
+    x = jnp.zeros((1, 7, 16, 20, 3))
+    variables = model.init(jax.random.key(0), x, 32, 40)
+    apply_fn = jax.jit(
+        lambda x, oh, ow: model.apply(variables, x, oh, ow),
+        static_argnums=(1, 2),
+    )
+    t, h, w = 9, 16, 20
+    chunk, overlap = 3, 2
+    clip = rng.random((1, t, h, w, 3)).astype(np.float32)
+    want = np.asarray(
+        chunked_vsr_apply(apply_fn, jnp.asarray(clip), 32, 40, chunk, overlap)
+    )
+    stream = StreamingVSR(apply_fn, 32, 40, chunk=chunk, overlap=overlap)
+    got = []
+    for i in range(t):
+        got.extend(stream.push(clip[0, i]))
+    got.extend(stream.flush())
+    assert len(got) == t
+    np.testing.assert_array_equal(np.stack(got)[None], want)
+
+
 def test_streaming_emission_order_and_lookahead(tiny_vsr, rng):
     """Outputs appear in order, and output j is never emitted before input
     j + ... arrives — i.e. emission respects the bounded-lookahead contract
