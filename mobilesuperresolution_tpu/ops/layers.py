@@ -53,7 +53,7 @@ class WNConv(nn.Module):
     feature_group_count: int = 1
     # int8 dynamic-range inference path (ops/quant.py): quantizes the
     # weight-normalized effective kernel per-output-channel and the input
-    # per-tensor. Same params as the float path (quantization is in-graph).
+    # per-sample. Same params as the float path (quantization is in-graph).
     quantized: bool = False
 
     @nn.compact

@@ -3,7 +3,7 @@
 The reference's real mobile deployment runs int8 dynamic-range TFLite
 (export_onnx.py -> onnx_tflite.py:1-10 -> TFLite converter; our
 export/export.py reproduces that artifact). This module brings the same
-numerics class on-TPU: per-output-channel symmetric int8 weights, per-tensor
+numerics class on-TPU: per-output-channel symmetric int8 weights, per-sample
 dynamic (computed from the live activation max) symmetric int8 activations,
 int8xint8->int32 convolution on the MXU, float rescale. On v5e the int8 MXU
 path has 2x the bf16 peak (394 vs 197 TOPS), so the conv share of the VSR
@@ -17,9 +17,14 @@ Recipe notes (our deployment recipe, matching TFLite dynamic-range semantics
 in spirit, not bit-exactly):
 - weights: per-output-channel scale max|w|/127, round-to-nearest-even, no
   clipping needed (|q| <= 127 by construction);
-- activations: per-tensor scale max|x|/127 computed on the fly (the
+- activations: PER-SAMPLE scale max|x_n|/127 computed on the fly (the
   "dynamic" in dynamic-range), round + clip to [-127, 127] — symmetric, so
-  zero stays exactly zero (ReLU/zero-padding friendly);
+  zero stays exactly zero (ReLU/zero-padding friendly). Per-sample rather
+  than TFLite's per-tensor so quantization is BATCH-COMPOSITION-INVARIANT:
+  a sample's scale depends only on that sample, so multi-stream serving,
+  mesh-folded chunk windows, and any other batching produce the same
+  numbers as running each sample alone (strictly finer than per-tensor; at
+  TFLite's batch-1 deployment the two coincide);
 - accumulation in int32, dequantize with the product of the two scales,
   bias added in float after dequantization (TFLite keeps float biases for
   dynamic-range kernels too).
@@ -62,15 +67,16 @@ def qconv2d(
     dimension_numbers=("NHWC", "HWIO", "NHWC"),
     feature_group_count=1,
 ):
-    """Dynamic-range int8 conv: quantize x per-tensor and kernel per-output-
+    """Dynamic-range int8 conv: quantize x per-sample and kernel per-output-
     channel, convolve int8xint8->int32 (MXU int8 path), dequantize to x.dtype.
 
     Drop-in for ``lax.conv_general_dilated(x, kernel, ...) + bias`` with the
     quantization error of one int8 dynamic-range layer (relative error
-    ~0.4% of the tensor max per operand).
+    ~0.4% of the sample max per operand).
     """
     out_dtype = x.dtype
-    xq, xs = quantize_symmetric(x)  # scalar scale
+    # per-sample scale (N,1,1,1): batch-composition-invariant (see module doc)
+    xq, xs = quantize_symmetric(x, axis=(1, 2, 3))
     kq, ks = quantize_kernel(kernel)
     y = jax.lax.conv_general_dilated(
         xq,

@@ -93,6 +93,16 @@ class TestQConv2d:
         ) + b
         np.testing.assert_array_equal(np.asarray(y), np.asarray(ye))
 
+    def test_batch_composition_invariance(self, rng):
+        """Per-SAMPLE dynamic scales: quantizing a batch == quantizing each
+        sample alone (multi-stream serving and mesh-folded chunk windows
+        must not change the numbers)."""
+        x = jnp.asarray(rng.normal(size=(3, 8, 8, 4)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, 4, 4)), jnp.float32)
+        batched = qconv2d(x, k)
+        solo = jnp.concatenate([qconv2d(x[i : i + 1], k) for i in range(3)])
+        np.testing.assert_array_equal(np.asarray(batched), np.asarray(solo))
+
     def test_output_dtype_follows_input(self, rng):
         x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(3, 3, 4, 4)), jnp.float32)
@@ -188,6 +198,28 @@ class TestQuantizedModels:
         )
         with pytest.raises(ValueError, match="BASIC_MODEL"):
             get_model(params)
+
+    def test_quantized_mesh_chunked_matches_serial(self, rng):
+        """chunk_data_parallel folds window groups into a batch sharded on
+        'data' — per-sample quantization scales keep it equal to the serial
+        window loop (up to XLA reduction-retiling ulp)."""
+        from mobilesuperresolution_tpu.parallel import make_mesh
+        from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
+
+        t, h, w = 11, 8, 8
+        m = get_vsr_model("basic", scale=2, quantized=True)
+        x = jnp.asarray(rng.random((1, t, h, w, 3)), jnp.float32)
+        params = m.init(jax.random.key(0), x, h * 2, w * 2)
+        fwd = jax.jit(
+            lambda xx, oh, ow: m.apply(params, xx, oh, ow), static_argnums=(1, 2)
+        )
+        serial = chunked_vsr_apply(fwd, x, h * 2, w * 2, chunk=2, overlap=2)
+        sharded = chunked_vsr_apply(
+            fwd, x, h * 2, w * 2, chunk=2, overlap=2, mesh=make_mesh(data=8)
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded), np.asarray(serial), atol=1e-5
+        )
 
     def test_train_cli_rejects_quantize(self, tmp_path):
         from mobilesuperresolution_tpu.cli import train_vsr
