@@ -6,8 +6,13 @@ export/export.py reproduces that artifact). This module brings the same
 numerics class on-TPU: per-output-channel symmetric int8 weights, per-sample
 dynamic (computed from the live activation max) symmetric int8 activations,
 int8xint8->int32 convolution on the MXU, float rescale. On v5e the int8 MXU
-path has 2x the bf16 peak (394 vs 197 TOPS), so the conv share of the VSR
-pipeline can roughly halve; warp gathers and resizes are untouched.
+path has 2x the bf16 peak (394 vs 197 TOPS); the measured win on this
+pipeline's own conv shapes is smaller — 1.31-1.37x on the large SpyNet/trunk
+convs, 0.96x on the 24-ch trunk (lane/memory-bound, not FLOPs-bound;
+DESIGN.md "negative results") — and warp gathers and resizes are untouched,
+so this path's primary value is DEPLOYMENT-NUMERICS PARITY (validating the
+int8 quality class on-TPU), with a modest speed side-benefit at the larger
+shapes.
 
 Like ``--flow_downscale``, this is an opt-in speed/quality trade (off by
 default; the headline bench keeps the exact path). Quality deltas are

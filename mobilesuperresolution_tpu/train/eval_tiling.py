@@ -20,7 +20,15 @@ smaller than the tile uses its native size, so an elongated image (e.g.
 per distinct SMALL dimension value, not per distinct image shape.
 
 Exactness requires ``radius`` ≥ the model's true receptive radius
-(parallel.halo.receptive_radius_wdsr for the WDSR family).
+(parallel.halo.receptive_radius_wdsr for the WDSR family) AND a
+crop-invariant ``fwd``. All float models qualify; ``--quantize int8`` does
+not — its dynamic activation scale is computed per sample, so a tile
+quantizes by the tile's max rather than the frame's and tiled output
+differs (slightly) from the whole-frame quantized forward. That matches
+how the reference's int8 TFLite deployment behaves on its per-patch
+inference (each invocation re-quantizes), so tiled+quantized eval is the
+deployment-faithful number, not a bug — but it is not bit-equal to
+whole-frame quantized eval the way float tiling is.
 """
 
 import numpy as np
