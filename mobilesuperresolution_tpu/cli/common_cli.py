@@ -48,6 +48,14 @@ def base_parser(description):
                         "shapes) compiles O(1) programs instead of one per "
                         "shape. 0 = per-shape jit. Images smaller than the "
                         "tile run at native shape.")
+    parser.add_argument("--max_steps_per_run", type=int, default=0,
+                        help="Stop after N optimizer steps this process "
+                        "lifetime: write a mid-epoch checkpoint and exit 0 "
+                        "(planned preemption for time-sliced clusters). "
+                        "SIGTERM triggers the same path at the next step "
+                        "boundary. Resuming with --resume replays the "
+                        "remaining batches of the interrupted epoch exactly "
+                        "(train/preemption.py). 0 = unlimited.")
     # multi-host runtime (the reference's --distributed + NCCL env:// init,
     # pretrain.py:153-159; here jax.distributed over ICI/DCN)
     parser.add_argument("--distributed", action="store_true",

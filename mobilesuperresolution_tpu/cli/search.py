@@ -200,6 +200,7 @@ def main(argv=None):
     # checkpoint (the opt-state structure only matches within a phase — each
     # phase has its own trainable mask).
     start_epoch = 0
+    resume_batch = 0
     if params.resume:
         import os as _os
 
@@ -211,7 +212,14 @@ def main(argv=None):
 
             base_params = load_params_npz(npz, base_params)
             start_epoch = latest
-            logging.info(f"resuming search from epoch {latest}")
+            ex = ckpt.peek_extra(latest)
+            resume_batch = int(ex.get("batches_done", 0)) if ex else 0
+            if resume_batch >= steps_per_epoch:
+                resume_batch = 0  # preempted ON the last batch: epoch complete
+            logging.info(
+                f"resuming search from epoch {latest}"
+                + (f", batch {resume_batch}" if resume_batch else "")
+            )
         elif bool(latest) != has_npz:
             # one artifact without the other = a damaged job dir; training
             # from scratch here would silently overwrite the survivor
@@ -224,6 +232,9 @@ def main(argv=None):
         else:
             logging.info("--resume: nothing to resume, starting fresh")
 
+    from mobilesuperresolution_tpu.train.preemption import PreemptionGuard
+
+    guard = PreemptionGuard(max_steps=params.max_steps_per_run)
     epoch = 0
     for phase in PHASES:
         n_epochs = phase_epochs(params, phase)
@@ -249,8 +260,11 @@ def main(argv=None):
             tx=tx,
             apply_fn=model.apply,
         )
-        if epoch < start_epoch < epoch + n_epochs:
-            # resuming mid-phase: the saved opt state was built with this
+        if epoch < start_epoch < epoch + n_epochs or (
+            resume_batch and epoch < start_epoch <= epoch + n_epochs
+        ):
+            # resuming mid-phase (or mid-EPOCH, where the re-entered epoch may
+            # be the phase's last): the saved opt state was built with this
             # phase's trainable mask, so the structures match
             state, _ = ckpt.restore(state)
         step = make_search_step(
@@ -264,11 +278,15 @@ def main(argv=None):
                     speed_target_current = scheduler.step()
                 else:
                     speed_target_current = params.speed_target
-                if epoch <= start_epoch:
+                if epoch < start_epoch or (epoch == start_epoch and not resume_batch):
                     continue  # already trained before the resume point
                 logging.info(f"speed target: {speed_target_current:.2f} ms")
                 meter = AverageMeter()
                 t0 = time.time()
+                # mid-epoch preemption resume re-enters the interrupted epoch
+                # at its saved batch position; the (seed+epoch, index)-pure
+                # random streams make the replay exact (train/preemption.py)
+                sb = resume_batch if epoch == start_epoch else 0
                 for bidx, batch in enumerate(
                     batch_iterator(
                         train_ds,
@@ -277,12 +295,29 @@ def main(argv=None):
                         seed=params.seed + epoch,
                         drop_last=True,
                         shard_by_process=True,
-                    )
+                        start_batch=sb,
+                    ),
+                    start=sb,
                 ):
                     state, metrics = step(
                         state, shard_batch(mesh, batch), speed_target_current
                     )
                     meter.update(float(metrics["loss"]))
+                    if guard.step_and_should_stop():
+                        ckpt.save(
+                            epoch, state,
+                            extra={"batches_done": bidx + 1}, force=True,
+                        )
+                        if jax.process_index() == 0:
+                            save_params_npz(params.job_dir, state.params)
+                        logging.info(
+                            f"preempted in phase {phase} at epoch {epoch} "
+                            f"batch {bidx + 1}: mid-epoch checkpoint written, "
+                            "exiting cleanly (--resume replays the rest of "
+                            "the epoch exactly)"
+                        )
+                        writer.flush()
+                        return
                     if bidx % params.log_steps == 0:
                         p = jax.device_get(state.params)
                         remain_idx = get_block_status(p)
@@ -309,7 +344,8 @@ def main(argv=None):
                 )
                 if jax.process_index() == 0:
                     run_evaluation(params, state, model, eval_mods, logging, epoch)
-                ckpt.save(epoch, state)  # all processes: orbax coordinates
+                # force: upgrade any mid-epoch preemption save of this epoch
+                ckpt.save(epoch, state, force=True)  # all processes: orbax coordinates
                 if jax.process_index() == 0:
                     save_params_npz(params.job_dir, state.params)
         base_params = state.params

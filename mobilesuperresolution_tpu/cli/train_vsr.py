@@ -225,9 +225,17 @@ def main(argv=None):
 
     ckpt = CheckpointManager(params.job_dir)
     start_epoch = 0
+    resume_batch = 0
     if params.resume:
         state, start_epoch = ckpt.restore(state)
-        logging.info(f"resumed from epoch {start_epoch}")
+        ex = ckpt.last_extra if isinstance(ckpt.last_extra, dict) else {}
+        resume_batch = int(ex.get("batches_done", 0))
+        if resume_batch >= steps_per_epoch:
+            resume_batch = 0  # preempted ON the last batch: epoch complete
+        logging.info(
+            f"resumed from epoch {start_epoch}"
+            + (f", batch {resume_batch}" if resume_batch else "")
+        )
 
     eval_mods = eval_modules(params)
     if params.eval_only:
@@ -235,27 +243,49 @@ def main(argv=None):
         return
 
     step = make_vsr_step(state, out_hw)
+    from mobilesuperresolution_tpu.train.preemption import PreemptionGuard
+
+    guard = PreemptionGuard(max_steps=params.max_steps_per_run)
+    first_epoch = start_epoch if resume_batch else start_epoch + 1
     with mesh:
-        for epoch in range(start_epoch + 1, params.epochs + 1):
+        for epoch in range(first_epoch, params.epochs + 1):
             meter = AverageMeter()
             t0 = time.time()
-            for batch in batch_iterator(
-                train_ds,
-                params.train_batch_size,
-                shuffle=True,
-                seed=params.seed + epoch,
-                drop_last=True,
-                shard_by_process=True,
+            sb = resume_batch if epoch == first_epoch else 0
+            for bidx, batch in enumerate(
+                batch_iterator(
+                    train_ds,
+                    params.train_batch_size,
+                    shuffle=True,
+                    seed=params.seed + epoch,
+                    drop_last=True,
+                    shard_by_process=True,
+                    start_batch=sb,
+                ),
+                start=sb,
             ):
                 state, metrics = step(state, shard_batch(mesh, batch))
                 meter.update(float(metrics["loss"]))
+                if guard.step_and_should_stop():
+                    ckpt.save(
+                        epoch, state,
+                        extra={"batches_done": bidx + 1}, force=True,
+                    )
+                    if jax.process_index() == 0:
+                        save_params_npz(params.job_dir, state.params)
+                    logging.info(
+                        f"preempted at epoch {epoch} batch {bidx + 1}: "
+                        "mid-epoch checkpoint written, exiting cleanly"
+                    )
+                    return
             logging.info(
                 f"epoch {epoch}: charbonnier={meter.avg:.4e} "
                 f"({meter.count} steps, {time.time() - t0:.1f}s)"
             )
             if eval_mods and jax.process_index() == 0:
                 run_vsr_evaluation(params, state, model, eval_mods, logging, epoch)
-            ckpt.save(epoch, state)  # all processes: orbax coordinates
+            # force: upgrade any mid-epoch preemption save of this same epoch
+            ckpt.save(epoch, state, force=True)  # all processes: orbax coordinates
             if jax.process_index() == 0:
                 save_params_npz(params.job_dir, state.params)
     logging.info("Finish Training")

@@ -80,12 +80,12 @@ class ImageSRDataset:
     def _load_item(self, index):
         return self._load(self.lr_files, index), self._load(self.hr_files, index)
 
-    def _sample_patch(self, lr, hr):
+    def _sample_patch(self, lr, hr, rng):
         p = self.params
         if self.mode == modes.TRAIN:
             b = p.ignored_boundary_size
-            x = self.rng.integers(b, lr.shape[0] - p.lr_patch_size + 1 - b)
-            y = self.rng.integers(b, lr.shape[1] - p.lr_patch_size + 1 - b)
+            x = rng.integers(b, lr.shape[0] - p.lr_patch_size + 1 - b)
+            y = rng.integers(b, lr.shape[1] - p.lr_patch_size + 1 - b)
             lr = lr[x : x + p.lr_patch_size, y : y + p.lr_patch_size]
             hr = hr[
                 x * p.scale : (x + p.lr_patch_size) * p.scale,
@@ -101,12 +101,20 @@ class ImageSRDataset:
         return len(self.lr_files)
 
     def __getitem__(self, index):
+        return self.item(index, self.rng)
+
+    def item(self, index, rng):
+        """__getitem__ with the random stream passed in. ``_batches`` derives
+        ``rng`` purely from (epoch seed, index), which makes the training
+        stream a pure function of (seed, epoch, index): independent of batch
+        arrival order, prefetch depth, process count — and resumable
+        mid-epoch bit-for-bit (train/preemption.py)."""
         if self.mode == modes.TRAIN:
             index = index // self.params.num_patches
         lr, hr = self._load_item(index)
-        lr, hr = self._sample_patch(lr, hr)
+        lr, hr = self._sample_patch(lr, hr, rng)
         if self.mode == modes.TRAIN:
-            lr, hr = _augment(self.rng, lr, hr)
+            lr, hr = _augment(rng, lr, hr)
             return _to_float(lr), _to_float(hr)
         name = os.path.splitext(self.hr_files[index][0])[0]
         return name, _to_float(lr), _to_float(hr)
@@ -122,13 +130,13 @@ class ImageSRBicubicDataset(ImageSRDataset):
         hr = self._load(self.hr_files, index)
         return hr, hr
 
-    def _sample_patch(self, lr, hr):
+    def _sample_patch(self, lr, hr, rng):
         p = self.params
         if self.mode == modes.TRAIN:
             hb = p.ignored_boundary_size * p.scale
             hp = p.lr_patch_size * p.scale + 2 * hb
-            x = self.rng.integers(0, hr.shape[0] - hp + 1)
-            y = self.rng.integers(0, hr.shape[1] - hp + 1)
+            x = rng.integers(0, hr.shape[0] - hp + 1)
+            y = rng.integers(0, hr.shape[1] - hp + 1)
             hr = hr[x : x + hp, y : y + hp]
             lr = imresize_np(hr, scalar_scale=1.0 / p.scale)
             b = p.ignored_boundary_size
@@ -144,7 +152,16 @@ class ImageSRBicubicDataset(ImageSRDataset):
         return lr, hr
 
 
-def _batches(dataset, batch_size, shuffle, seed, drop_last, shard_by_process=False):
+def _item(dataset, index, seed):
+    """Fetch one item with a random stream derived purely from (seed, index)
+    — order/prefetch/process-count independent, hence exactly replayable."""
+    if hasattr(dataset, "item"):
+        return dataset.item(index, np.random.default_rng([seed, index]))
+    return dataset[index]
+
+
+def _batches(dataset, batch_size, shuffle, seed, drop_last,
+             shard_by_process=False, start_batch=0):
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
@@ -163,11 +180,13 @@ def _batches(dataset, batch_size, shuffle, seed, drop_last, shard_by_process=Fal
         if len(order) % p:
             order = np.concatenate([order, order[: p - len(order) % p]])
         order = order[jax.process_index() :: p]
-    for start in range(0, len(order), batch_size):
+    for bidx, start in enumerate(range(0, len(order), batch_size)):
         idx = order[start : start + batch_size]
         if len(idx) == 0 or (drop_last and len(idx) < batch_size):
             return
-        items = [dataset[int(i)] for i in idx]
+        if bidx < start_batch:
+            continue  # mid-epoch resume: already-consumed batches skip free
+        items = [_item(dataset, int(i), seed) for i in idx]
         if isinstance(items[0], tuple) and len(items[0]) == 3:
             for name, lr, hr in items:
                 yield name, lr[None], hr[None]
@@ -185,14 +204,19 @@ def batch_iterator(
     drop_last=False,
     prefetch=2,
     shard_by_process=False,
+    start_batch=0,
 ):
     """Host-side batcher with background-thread prefetch so patch sampling +
     bicubic degradation overlap the device step (the DataLoader-worker role of
     the reference, num_workers=8 — pretrain.py:192-207). TRAIN items are
     (lr, hr) stacked to (B, h, w, C); EVAL items are (name, lr, hr) with batch
     dim 1 (reference eval_batch_size=1). ``shard_by_process`` slices the
-    (identically-shuffled) index order per host for multi-host training."""
-    gen = _batches(dataset, batch_size, shuffle, seed, drop_last, shard_by_process)
+    (identically-shuffled) index order per host for multi-host training.
+    Random patch/flip draws derive purely from (seed, item index), so the
+    stream is a function of its arguments alone; ``start_batch`` resumes an
+    interrupted epoch exactly (train/preemption.py)."""
+    gen = _batches(dataset, batch_size, shuffle, seed, drop_last,
+                   shard_by_process, start_batch)
     if prefetch <= 0:
         yield from gen
         return

@@ -108,12 +108,18 @@ class VideoSRDataset:
         return lr
 
     def __getitem__(self, index):
+        return self.item(index, self.rng)
+
+    def item(self, index, rng):
+        """__getitem__ with the random stream passed in — ``_batches`` derives
+        it purely from (epoch seed, index) so the clip/patch/flip stream is
+        replayable (mid-epoch exact resume, train/preemption.py)."""
         if self.mode == modes.TRAIN:
             index = index // self.params.num_patches
         lr_list, hr_list = self._load_item(index)
         extra_list = self._extra_frames(index)
         p = self.params
-        p1, p2 = self.rng.random(), self.rng.random()
+        p1, p2 = rng.random(), rng.random()
         sample = self.mode == modes.TRAIN and getattr(p, "train_sample_patch", True)
         if sample:
             # patch coordinates are only meaningful (and only valid —
@@ -123,8 +129,8 @@ class VideoSRDataset:
             if self.short_frame_guard and h0 <= 68:
                 x = 0
             else:
-                x = int(self.rng.integers(b, h0 - p.lr_patch_size + 1 - b))
-            y = int(self.rng.integers(b, w0 - p.lr_patch_size + 1 - b))
+                x = int(rng.integers(b, h0 - p.lr_patch_size + 1 - b))
+            y = int(rng.integers(b, w0 - p.lr_patch_size + 1 - b))
             ps, s = p.lr_patch_size, p.scale
             lr_list = [f[x : x + ps, y : y + ps] for f in lr_list]
             hr_list = [f[x * s : (x + ps) * s, y * s : (y + ps) * s] for f in hr_list]

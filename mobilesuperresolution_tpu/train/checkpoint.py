@@ -25,7 +25,11 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def save(self, epoch: int, state, extra: Optional[dict] = None):
+    def save(self, epoch: int, state, extra: Optional[dict] = None, force=False):
+        """``force=True`` overwrites an existing save at this epoch id — the
+        end-of-epoch save after resuming from a mid-epoch preemption
+        checkpoint of the SAME epoch (train/preemption.py) upgrades it in
+        place."""
         payload = {
             "params": jax.device_get(state.params),
             "opt_state": jax.device_get(state.opt_state),
@@ -34,6 +38,8 @@ class CheckpointManager:
         }
         if extra:
             payload["extra"] = jax.device_get(extra)
+        if force and epoch in self._mngr.all_steps():
+            self._mngr.delete(epoch)
         self._mngr.save(epoch, args=ocp.args.StandardSave(payload))
         self._mngr.wait_until_finished()
 
@@ -41,9 +47,12 @@ class CheckpointManager:
         return self._mngr.latest_step()
 
     def _has_extra(self, epoch: int) -> bool:
-        """Probe the saved item's top-level keys for 'extra' (metadata when
-        available, directory layout as fallback) so restore() does not need
-        the caller to know how the checkpoint was saved."""
+        """Probe the saved item's top-level keys for 'extra' so restore()
+        does not need the caller to know how the checkpoint was saved.
+        The in-memory metadata probe only works on the manager instance that
+        did the save (a FRESH manager — the resume case — returns None), so
+        fall back to the checkpoint's on-disk ``_METADATA`` tree, where every
+        leaf's key path is recorded."""
         try:
             meta = self._mngr.item_metadata(epoch)
             tree = getattr(meta, "item_metadata", meta)
@@ -52,12 +61,62 @@ class CheckpointManager:
                 return "extra" in tree
         except Exception:
             pass
+        import json
+
         root = self._mngr.directory / str(epoch)
-        for item_dir in ("default", "state"):
-            d = root / item_dir / "extra"
-            if d.exists():
-                return True
-        return (root / "extra").exists()
+        for item_dir in ("default", "state", "."):
+            f = root / item_dir / "_METADATA"
+            if not f.exists():
+                continue
+            try:
+                tm = json.loads(f.read_text()).get("tree_metadata", {})
+            except (OSError, ValueError):
+                continue
+            for leaf in tm.values():
+                km = leaf.get("key_metadata") or []
+                if km and km[0].get("key") == "extra":
+                    return True
+            return False
+        return False
+
+    def _extra_template_from_disk(self, epoch: int):
+        """Zero-valued template of the 'extra' item reconstructed from the
+        checkpoint's on-disk ``_METADATA`` key paths (scalar leaves only —
+        which is all the framework stores there). Lets restore() stay fully
+        typed (StandardRestore) without the caller knowing whether/what
+        'extra' was saved."""
+        import json
+
+        root = self._mngr.directory / str(epoch)
+        for item_dir in ("default", "state", "."):
+            f = root / item_dir / "_METADATA"
+            if not f.exists():
+                continue
+            try:
+                tm = json.loads(f.read_text()).get("tree_metadata", {})
+            except (OSError, ValueError):
+                return None
+            out = {}
+            for leaf in tm.values():
+                km = leaf.get("key_metadata") or []
+                keys = [k.get("key") for k in km]
+                if not keys or keys[0] != "extra":
+                    continue
+                d = out
+                for k in keys[1:-1]:
+                    d = d.setdefault(k, {})
+                d[keys[-1]] = 0
+            return out or None
+        return None
+
+    def peek_extra(self, epoch: Optional[int]):
+        """The ``extra`` dict of a saved step, or None — without a state
+        template. Used by resume logic (cli/search.py) that must know the
+        mid-epoch position before the phase-local state exists. Full item
+        read; call once."""
+        if epoch is None or not self._has_extra(epoch):
+            return None
+        return self._mngr.restore(epoch).get("extra")
 
     def restore(self, state, epoch: Optional[int] = None, extra_template=None):
         """Returns (state_with_restored_params_and_opt, epoch) or (state, 0)
@@ -75,8 +134,12 @@ class CheckpointManager:
             return state, 0
         has_extra = self._has_extra(target_epoch)
         if has_extra and extra_template is None:
+            extra_template = self._extra_template_from_disk(target_epoch)
+        if has_extra and extra_template is None:
             # orbax StandardRestore has no partial restore — recover the
-            # as-saved tree and pick the pieces out.
+            # as-saved tree and pick the pieces out. Untyped: opt_state comes
+            # back as plain dicts, so only reachable if the on-disk metadata
+            # probe failed (never for checkpoints this framework wrote).
             restored = self._mngr.restore(target_epoch)
         else:
             template = {

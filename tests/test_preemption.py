@@ -1,0 +1,163 @@
+"""Preemption-safe training (SURVEY §5.3 — the reference has no failure
+handling; its --resume is a no-op).
+
+The contract under test: an interrupted-and-resumed run produces final
+parameters BIT-IDENTICAL to an uninterrupted run. This holds because
+(a) stops land only at optimizer-step boundaries (train/preemption.py),
+(b) the mid-epoch checkpoint records the batch position, and
+(c) patch/flip sampling is a pure function of (epoch seed, item index)
+    (data/isr.py ``_batches``), so the resumed process replays the remaining
+    batches of the interrupted epoch exactly.
+"""
+
+import signal
+
+import numpy as np
+import pytest
+
+from mobilesuperresolution_tpu.core import modes
+from mobilesuperresolution_tpu.data.isr import batch_iterator
+from mobilesuperresolution_tpu.data.synthetic import SyntheticISRDataset
+from mobilesuperresolution_tpu.train.preemption import PreemptionGuard
+
+
+class P:
+    scale = 2
+    lr_patch_size = 16
+    ignored_boundary_size = 2
+    num_patches = 2
+    seed = 0
+
+
+def _collect(ds, start_batch=0, prefetch=0):
+    return list(
+        batch_iterator(
+            ds, 4, shuffle=True, seed=7, drop_last=True,
+            prefetch=prefetch, start_batch=start_batch,
+        )
+    )
+
+
+def test_batch_stream_is_pure_and_resumable():
+    """start_batch=k yields bitwise the tail of the full stream, and the
+    stream is independent of prefetch depth (the draws derive from
+    (seed, index), not from consumption order)."""
+    ds = SyntheticISRDataset(modes.TRAIN, P(), num_images=6, hw=(96, 96))
+    full = _collect(ds)
+    assert len(full) >= 3
+    again = _collect(ds, prefetch=2)
+    tail = _collect(ds, start_batch=2)
+    assert len(tail) == len(full) - 2
+    for (a_lr, a_hr), (b_lr, b_hr) in zip(full, again):
+        np.testing.assert_array_equal(a_lr, b_lr)
+        np.testing.assert_array_equal(a_hr, b_hr)
+    for (a_lr, a_hr), (b_lr, b_hr) in zip(full[2:], tail):
+        np.testing.assert_array_equal(a_lr, b_lr)
+        np.testing.assert_array_equal(a_hr, b_hr)
+
+
+def test_guard_step_budget():
+    g = PreemptionGuard(max_steps=3)
+    try:
+        assert [g.step_and_should_stop() for _ in range(4)] == [
+            False, False, True, True,
+        ]
+    finally:
+        g.restore_handlers()
+
+
+def test_guard_sigterm_stops_at_next_step():
+    g = PreemptionGuard(max_steps=0)
+    try:
+        assert g.step_and_should_stop() is False
+        signal.raise_signal(signal.SIGTERM)  # handler only sets a flag
+        assert g.step_and_should_stop() is True
+    finally:
+        g.restore_handlers()
+
+
+def _pretrain(job, extra=()):
+    from mobilesuperresolution_tpu.cli import pretrain as pretrain_cli
+
+    pretrain_cli.main([
+        "--job_dir", str(job),
+        "--dataset", "synthetic_isr",
+        "--eval_datasets",
+        "--num_blocks", "1",
+        "--num_residual_units", "8",
+        "--scale", "2",
+        "--epochs", "2",
+        "--train_batch_size", "8",
+        "--lr_patch_size", "16",
+        "--num_patches", "2",
+        *extra,
+    ])
+
+
+def _load_npz(job):
+    with np.load(str(job / "weights" / "models.npz")) as z:
+        return {k: z[k].copy() for k in z.files}
+
+
+def test_pretrain_preempt_resume_bit_exact(tmp_path):
+    """16 virtual items / batch 8 = 2 steps per epoch, 2 epochs = 4 steps.
+    --max_steps_per_run 3 stops mid-epoch-2; --resume replays its remaining
+    batch. Final weights must equal the uninterrupted run's bit-for-bit."""
+    ref = tmp_path / "uninterrupted"
+    _pretrain(ref)
+
+    job = tmp_path / "preempted"
+    _pretrain(job, ["--max_steps_per_run", "3"])
+    log = (job / "result.log").read_text()
+    assert "preempted at epoch 2 batch 1" in log
+
+    _pretrain(job, ["--resume"])
+    log = (job / "result.log").read_text()
+    assert "resumed from epoch 2, batch 1" in log
+
+    a, b = _load_npz(ref), _load_npz(job)
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_search_preempt_resume_completes(tmp_path):
+    """Same path through the 3-phase search driver: a budget stop inside the
+    width phase, then --resume re-enters the interrupted epoch at its batch
+    offset, restores the phase-local optimizer state, and finishes all
+    phases (final block_index line present)."""
+    from mobilesuperresolution_tpu.cli import search as search_cli
+    from mobilesuperresolution_tpu.nas.artifact import read_block_index
+
+    job = tmp_path / "search_preempt"
+    common = [
+        "--job_dir", str(job),
+        "--dataset", "synthetic_isr",
+        "--eval_datasets",
+        "--num_blocks", "2",
+        "--num_residual_units", "8",
+        "--scale", "2",
+        "--width_search",
+        "--speed_target", "5",
+        "--width_epochs", "2",
+        "--epochs", "0",
+        "--kernel_epochs", "1",
+        "--train_batch_size", "8",
+        "--lr_patch_size", "16",
+        "--num_patches", "2",
+        "--log_steps", "1",
+    ]
+    search_cli.main(["--max_steps_per_run", "3", *common])
+    log = (job / "result.log").read_text()
+    assert "preempted in phase width at epoch 2 batch 1" in log
+
+    search_cli.main(["--resume", *common])
+    log = (job / "result.log").read_text()
+    assert "resuming search from epoch 2, batch 1" in log
+    resumed = log.split("resuming search from epoch 2, batch 1")[1]
+    # epoch 1 does not retrain; epoch 2 re-enters; the kernel phase runs
+    assert "[width e1" not in resumed
+    assert "[width e2" in resumed
+    assert "[kernel e3" in resumed
+    idx, width = read_block_index(str(job))
+    assert all(w[2] in (3, 5, 7) for w in width)
