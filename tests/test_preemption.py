@@ -10,7 +10,12 @@ parameters BIT-IDENTICAL to an uninterrupted run. This holds because
     batches of the interrupted epoch exactly.
 """
 
+import os
 import signal
+import socket
+import subprocess
+import sys
+import time
 
 import numpy as np
 import pytest
@@ -161,3 +166,78 @@ def test_search_preempt_resume_completes(tmp_path):
     assert "[kernel e3" in resumed
     idx, width = read_block_index(str(job))
     assert all(w[2] in (3, 5, 7) for w in width)
+
+
+def test_multiprocess_sigterm_stops_all_hosts(tmp_path):
+    """The deadlock-risk path (train/preemption.py module docstring): in a
+    2-process cluster, SIGTERM delivered to ONE process must stop BOTH at
+    the same allgather-synchronized step boundary — a half-stopped job would
+    hang in the next collective. Both processes must exit 0 with a mid-epoch
+    checkpoint written."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    job = tmp_path / "job"
+    script = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'\n"
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from mobilesuperresolution_tpu.cli import pretrain\n"
+        "pretrain.main(sys.argv[1:])\n"
+    )
+    common = [
+        "--job_dir", str(job),
+        "--dataset", "synthetic_isr", "--eval_datasets",
+        "--model_type", "BASIC_MODEL", "--num_blocks", "1",
+        "--num_residual_units", "8", "--scale", "2",
+        # 8 imgs x3 = 24 items, 12 per host, 6 steps/epoch: the sync
+        # boundary (step 16) falls MID-epoch (epoch 3, batch 4)
+        "--train_batch_size", "2", "--num_patches", "3",
+        "--lr_patch_size", "16", "--epochs", "50",
+        "--coordinator_address", f"localhost:{port}",
+        "--num_processes", "2",
+    ]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, *common, "--process_id", str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    try:
+        # signal only after the guard is installed and training is underway
+        # (the first end-of-epoch log line); before that, default SIGTERM
+        # disposition would kill the process
+        log = job / "result.log"
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if log.exists() and "epoch 1:" in log.read_text():
+                break
+            if any(p.poll() is not None for p in procs):
+                outs = [p.communicate()[0] for p in procs]
+                raise AssertionError(f"worker died early:\n{outs}")
+            time.sleep(1.0)
+        else:
+            raise AssertionError("training never reached epoch 1")
+        procs[1].send_signal(signal.SIGTERM)  # the NON-chief process only
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            assert p.returncode == 0, out
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    text = log.read_text()
+    assert "preempted at epoch" in text  # chief logged the synchronized stop
+    assert (job / "ckpt").exists()
+    assert (job / "weights" / "models.npz").exists()
