@@ -56,6 +56,14 @@ def base_parser(description):
                         "boundary. Resuming with --resume replays the "
                         "remaining batches of the interrupted epoch exactly "
                         "(train/preemption.py). 0 = unlimited.")
+    parser.add_argument("--checkpoint_every_steps", type=int, default=0,
+                        help="Also checkpoint every N optimizer steps WITHIN "
+                        "an epoch (full state + batch position), so a hard "
+                        "crash — not just a SIGTERM — loses at most N steps: "
+                        "--resume replays the rest of the epoch exactly from "
+                        "the last complete save (train/preemption.py). "
+                        "0 = end-of-epoch saves only. Useful when epochs are "
+                        "long (REDS: ~24k clips/epoch).")
     # multi-host runtime (the reference's --distributed + NCCL env:// init,
     # pretrain.py:153-159; here jax.distributed over ICI/DCN)
     parser.add_argument("--distributed", action="store_true",

@@ -169,7 +169,10 @@ def main(argv=None):
     else:
         step = make_sisr_step(state)
     writer = MetricsWriter(params.job_dir)
-    from mobilesuperresolution_tpu.train.preemption import PreemptionGuard
+    from mobilesuperresolution_tpu.train.preemption import (
+        PreemptionGuard,
+        save_midepoch,
+    )
 
     guard = PreemptionGuard(max_steps=params.max_steps_per_run)
     # a mid-epoch preemption checkpoint re-enters its epoch at resume_batch;
@@ -196,12 +199,7 @@ def main(argv=None):
                 state, metrics = step(state, shard_batch(mesh, batch))
                 meter.update(float(metrics["loss"]))
                 if guard.step_and_should_stop():
-                    ckpt.save(
-                        epoch, state,
-                        extra={"batches_done": bidx + 1}, force=True,
-                    )
-                    if jax.process_index() == 0:
-                        save_params_npz(params.job_dir, state.params)
+                    save_midepoch(ckpt, params.job_dir, epoch, state, bidx + 1)
                     logging.info(
                         f"preempted at epoch {epoch} batch {bidx + 1}: "
                         "mid-epoch checkpoint written, exiting cleanly "
@@ -209,6 +207,13 @@ def main(argv=None):
                     )
                     writer.flush()
                     return
+                if (
+                    params.checkpoint_every_steps
+                    and (bidx + 1) % params.checkpoint_every_steps == 0
+                    and bidx + 1 < steps_per_epoch
+                ):
+                    # crash-resilience: a hard kill loses at most N steps
+                    save_midepoch(ckpt, params.job_dir, epoch, state, bidx + 1)
             logging.info(
                 f"epoch {epoch}: loss={meter.avg:.4e} "
                 f"({meter.count} steps, {time.time() - t0:.1f}s) "

@@ -232,7 +232,10 @@ def main(argv=None):
         else:
             logging.info("--resume: nothing to resume, starting fresh")
 
-    from mobilesuperresolution_tpu.train.preemption import PreemptionGuard
+    from mobilesuperresolution_tpu.train.preemption import (
+        PreemptionGuard,
+        save_midepoch,
+    )
 
     guard = PreemptionGuard(max_steps=params.max_steps_per_run)
     epoch = 0
@@ -304,12 +307,7 @@ def main(argv=None):
                     )
                     meter.update(float(metrics["loss"]))
                     if guard.step_and_should_stop():
-                        ckpt.save(
-                            epoch, state,
-                            extra={"batches_done": bidx + 1}, force=True,
-                        )
-                        if jax.process_index() == 0:
-                            save_params_npz(params.job_dir, state.params)
+                        save_midepoch(ckpt, params.job_dir, epoch, state, bidx + 1)
                         logging.info(
                             f"preempted in phase {phase} at epoch {epoch} "
                             f"batch {bidx + 1}: mid-epoch checkpoint written, "
@@ -318,6 +316,13 @@ def main(argv=None):
                         )
                         writer.flush()
                         return
+                    if (
+                        params.checkpoint_every_steps
+                        and (bidx + 1) % params.checkpoint_every_steps == 0
+                        and bidx + 1 < steps_per_epoch
+                    ):
+                        # crash-resilience: a hard kill loses at most N steps
+                        save_midepoch(ckpt, params.job_dir, epoch, state, bidx + 1)
                     if bidx % params.log_steps == 0:
                         p = jax.device_get(state.params)
                         remain_idx = get_block_status(p)

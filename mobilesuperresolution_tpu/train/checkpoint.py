@@ -163,15 +163,20 @@ class CheckpointManager:
 
 
 def save_params_npz(job_dir, params, name="models"):
-    """Flat-npz export of params (the reference's bare state_dict models.pt)."""
+    """Flat-npz export of params (the reference's bare state_dict models.pt).
+    Written atomically (tmp + rename): mid-epoch saves make this a crash
+    window, and the search resume path reads this artifact."""
     out_dir = os.path.join(job_dir, "weights")
     os.makedirs(out_dir, exist_ok=True)
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
         key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
         flat[key] = np.asarray(leaf)
-    np.savez(os.path.join(out_dir, f"{name}.npz"), **flat)
-    return os.path.join(out_dir, f"{name}.npz")
+    final = os.path.join(out_dir, f"{name}.npz")
+    tmp = final + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, final)
+    return final
 
 
 def load_params_npz(path, params_template):

@@ -29,6 +29,22 @@ import signal as _signal
 import numpy as np
 
 
+def save_midepoch(ckpt, job_dir, epoch, state, batches_done):
+    """One mid-epoch full-state save — on a preemption stop or a periodic
+    ``--checkpoint_every_steps`` crash-resilience save. Records the batch
+    position in the checkpoint's ``extra`` so ``--resume`` replays the
+    remaining batches of the epoch exactly; the chief also refreshes the
+    weights npz (written atomically — a hard kill mid-write must not corrupt
+    the artifact the search resume path reads)."""
+    import jax
+
+    from mobilesuperresolution_tpu.train.checkpoint import save_params_npz
+
+    ckpt.save(epoch, state, extra={"batches_done": batches_done}, force=True)
+    if jax.process_index() == 0:
+        save_params_npz(job_dir, state.params)
+
+
 class PreemptionGuard:
     def __init__(self, max_steps=0, signals=(_signal.SIGTERM,), sync_every=16):
         self.max_steps = int(max_steps or 0)

@@ -168,6 +168,73 @@ def test_search_preempt_resume_completes(tmp_path):
     assert all(w[2] in (3, 5, 7) for w in width)
 
 
+def test_crash_sigkill_resume_bit_exact(tmp_path):
+    """--checkpoint_every_steps N bounds what a HARD crash loses: SIGKILL the
+    trainer mid-training (no handler can run), then --resume must pick up
+    the last complete per-step checkpoint and replay the rest of the epoch —
+    final weights bit-identical to an uninterrupted run. Orbax commits saves
+    atomically and the weights npz is tmp+rename, so a kill mid-write leaves
+    the previous complete save."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    script = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'\n"
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from mobilesuperresolution_tpu.cli import pretrain\n"
+        "pretrain.main(sys.argv[1:])\n"
+    )
+
+    def flags(job):
+        return [
+            "--job_dir", str(job),
+            "--dataset", "synthetic_isr", "--eval_datasets",
+            "--num_blocks", "1", "--num_residual_units", "8", "--scale", "2",
+            "--train_batch_size", "8", "--lr_patch_size", "16",
+            # 8 imgs x6 = 48 items -> 6 steps/epoch
+            "--num_patches", "6", "--epochs", "3",
+        ]
+
+    ref = tmp_path / "uninterrupted"
+    from mobilesuperresolution_tpu.cli import pretrain as pretrain_cli
+
+    pretrain_cli.main(flags(ref))
+
+    job = tmp_path / "crashed"
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script, *flags(job),
+         "--checkpoint_every_steps", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+    )
+    log = job / "result.log"
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if log.exists() and "epoch 1:" in log.read_text():
+                break
+            assert proc.poll() is None, proc.communicate()[0]
+            time.sleep(0.25)
+        else:
+            raise AssertionError("training never reached epoch 1")
+        proc.kill()  # SIGKILL: no clean-exit path runs
+        proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "Finish Training" not in log.read_text()  # it really died mid-run
+
+    pretrain_cli.main([*flags(job), "--resume"])
+    assert "Finish Training" in log.read_text()
+
+    a, b = _load_npz(ref), _load_npz(job)
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_multiprocess_sigterm_stops_all_hosts(tmp_path):
     """The deadlock-risk path (train/preemption.py module docstring): in a
     2-process cluster, SIGTERM delivered to ONE process must stop BOTH at
