@@ -8,7 +8,6 @@ numpy path when the shared library hasn't been built (``make -C native``).
 
 import ctypes
 import functools
-import os
 
 import numpy as np
 
@@ -18,18 +17,15 @@ from mobilesuperresolution_tpu.data.imresize import (
     imresize_np,
 )
 
-_LIB_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "libimresize.so",
-)
+from mobilesuperresolution_tpu.core.native_path import find_native_lib
 
 
 @functools.lru_cache(maxsize=1)
 def _lib():
-    if not os.path.exists(_LIB_PATH):
+    path = find_native_lib("libimresize.so")
+    if path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(path)
     for name in ("resize_rows_u8", "resize_cols_u8"):
         fn = getattr(lib, name)
         fn.restype = None

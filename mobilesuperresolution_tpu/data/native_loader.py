@@ -18,18 +18,15 @@ import os
 
 import numpy as np
 
-_LIB_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "libloader.so",
-)
+from mobilesuperresolution_tpu.core.native_path import find_native_lib
 
 
 @functools.lru_cache(maxsize=1)
 def _lib():
-    if not os.path.exists(_LIB_PATH):
+    path = find_native_lib("libloader.so")
+    if path is None:
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    lib = ctypes.CDLL(path)
     lib.yuv420_to_rgb_u8.restype = None
     lib.yuv420_to_rgb_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
