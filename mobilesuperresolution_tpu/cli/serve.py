@@ -17,6 +17,7 @@ window program (outputs per stream match solo serving to float ulp level).
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -151,6 +152,19 @@ def main(argv=None):
     push_times = []  # arrival wall-clock per input time step
     emit_lat = []  # arrival->emission seconds per output time step
 
+    # Host IO off the critical path (the device pipelines windows via async
+    # dispatch; the host must not serialize PNG work against it):
+    # - PNG ENCODE goes to a writer pool — at x4 output the encode of one
+    #   frame can cost more than its share of device compute, and zlib/PIL
+    #   release the GIL, so writers overlap device waits even on one CPU.
+    #   A frame is "emitted" when its pixels are ready (latency measured
+    #   there); wall-clock/fps still include the writers' drain (join below),
+    #   so fps_end_to_end never counts unfinished work.
+    # - DECODE of frame i+1 is prefetched on one worker while frame i is
+    #   pushed (bounded: one step in flight, memory O(1)).
+    writers = ThreadPoolExecutor(max_workers=2)
+    pending_writes = []
+
     def emit(steps):
         nonlocal emitted
         now = time.perf_counter()
@@ -159,18 +173,28 @@ def main(argv=None):
             if not params.no_save:
                 per_stream = fr[None] if fr.ndim == 3 else fr
                 for d, sfr in zip(stream_dirs, per_stream):
-                    _save_png(os.path.join(d, f"{emitted:08d}.png"), sfr)
+                    pending_writes.append(writers.submit(
+                        _save_png,
+                        os.path.join(d, f"{emitted:08d}.png"), sfr,
+                    ))
             emitted += 1
 
-    t0 = time.perf_counter()
-    for i in range(n_frames):
-        frame = np.stack(
+    def decode(i):
+        return np.stack(
             [
                 load_image(os.path.join(d, names[i])).astype(np.float32)
                 / 255.0
                 for d, names in zip(in_dirs, per_stream_names)
             ]
         )
+
+    decoder = ThreadPoolExecutor(max_workers=1)
+    t0 = time.perf_counter()
+    next_frame = decoder.submit(decode, 0)
+    for i in range(n_frames):
+        frame = next_frame.result()
+        if i + 1 < n_frames:
+            next_frame = decoder.submit(decode, i + 1)
         if params.arrival_fps > 0:
             # live-stream pacing: frame i "arrives" at t0 + i/fps
             due = t0 + i / params.arrival_fps
@@ -180,6 +204,10 @@ def main(argv=None):
         push_times.append(time.perf_counter())
         emit(stream.push(frame if n_streams > 1 else frame[0]))
     emit(stream.flush())
+    for f in pending_writes:
+        f.result()  # surface write errors; include write drain in wall
+    writers.shutdown()
+    decoder.shutdown()
     wall = time.perf_counter() - t0
     assert emitted == n_frames, (emitted, n_frames)
 
