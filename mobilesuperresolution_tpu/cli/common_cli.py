@@ -64,6 +64,23 @@ def base_parser(description):
                         "the last complete save (train/preemption.py). "
                         "0 = end-of-epoch saves only. Useful when epochs are "
                         "long (REDS: ~24k clips/epoch).")
+    parser.add_argument("--xla_profile_steps", type=int, default=0,
+                        help="Capture an XLA trace of the first N optimizer "
+                        "steps to <job_dir>/profile (TensorBoard-viewable; "
+                        "includes the first-step compile, so N >= 2 also "
+                        "shows a steady-state step). 0 = off. SURVEY §5.1 — "
+                        "the reference has only ad-hoc time.time() prints.")
+    parser.add_argument("--compile_cache", type=str,
+                        default=os.path.join(
+                            os.path.expanduser("~"), ".cache",
+                            "mobilesuperresolution_tpu", "xla",
+                        ),
+                        help="Persistent XLA compilation cache directory: "
+                        "re-runs, --resume restarts, and preemption rerun "
+                        "loops (launchers/with_retries.sh) skip recompiling "
+                        "unchanged programs — on TPU backends a model-sized "
+                        "compile is tens of seconds. Content-addressed, safe "
+                        "to share between jobs. '' disables.")
     # multi-host runtime (the reference's --distributed + NCCL env:// init,
     # pretrain.py:153-159; here jax.distributed over ICI/DCN)
     parser.add_argument("--distributed", action="store_true",
@@ -96,6 +113,15 @@ def parse_with_plugins(parser, argv=None, with_models=True):
     )
 
     initialize_from_params(params)
+    if getattr(params, "compile_cache", ""):
+        import jax
+
+        os.makedirs(params.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", params.compile_cache)
+        # cache every program regardless of size/compile time — this
+        # framework's programs are few and reused across restarts
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     os.makedirs(params.job_dir, exist_ok=True)
     return params, dataset_module
 

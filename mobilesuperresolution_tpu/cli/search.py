@@ -238,6 +238,9 @@ def main(argv=None):
     )
 
     guard = PreemptionGuard(max_steps=params.max_steps_per_run)
+    from mobilesuperresolution_tpu.core.profiling import StepProfiler
+
+    prof = StepProfiler(params.job_dir, params.xla_profile_steps)
     epoch = 0
     for phase in PHASES:
         n_epochs = phase_epochs(params, phase)
@@ -306,6 +309,7 @@ def main(argv=None):
                         state, shard_batch(mesh, batch), speed_target_current
                     )
                     meter.update(float(metrics["loss"]))
+                    prof.step()
                     if guard.step_and_should_stop():
                         save_midepoch(ckpt, params.job_dir, epoch, state, bidx + 1)
                         logging.info(
@@ -315,6 +319,7 @@ def main(argv=None):
                             "the epoch exactly)"
                         )
                         writer.flush()
+                        prof.close()
                         return
                     if (
                         params.checkpoint_every_steps
@@ -355,6 +360,7 @@ def main(argv=None):
                     save_params_npz(params.job_dir, state.params)
         base_params = state.params
 
+    prof.close()  # flush a trace shorter than the requested step count
     # final architecture line
     p = jax.device_get(base_params)
     remain_idx = get_block_status(p)

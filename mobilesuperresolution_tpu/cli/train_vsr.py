@@ -249,8 +249,12 @@ def main(argv=None):
     )
 
     guard = PreemptionGuard(max_steps=params.max_steps_per_run)
+    from mobilesuperresolution_tpu.core.profiling import StepProfiler
+
+    prof = StepProfiler(params.job_dir, params.xla_profile_steps)
     first_epoch = start_epoch if resume_batch else start_epoch + 1
-    with mesh:
+    try:
+      with mesh:
         for epoch in range(first_epoch, params.epochs + 1):
             meter = AverageMeter()
             t0 = time.time()
@@ -269,6 +273,7 @@ def main(argv=None):
             ):
                 state, metrics = step(state, shard_batch(mesh, batch))
                 meter.update(float(metrics["loss"]))
+                prof.step()
                 if guard.step_and_should_stop():
                     save_midepoch(ckpt, params.job_dir, epoch, state, bidx + 1)
                     logging.info(
@@ -293,6 +298,8 @@ def main(argv=None):
             ckpt.save(epoch, state, force=True)  # all processes: orbax coordinates
             if jax.process_index() == 0:
                 save_params_npz(params.job_dir, state.params)
+    finally:
+        prof.close()  # flush a still-open trace on any exit path
     logging.info("Finish Training")
 
 

@@ -23,6 +23,40 @@ def trace(job_dir, name="trace"):
         jax.profiler.stop_trace()
 
 
+class StepProfiler:
+    """Capture ONE XLA trace spanning the first N optimizer steps of a run
+    (``--xla_profile_steps``; 0 = disabled), written to
+    ``<job_dir>/profile/<name>`` in TensorBoard's profiler format. The trace
+    includes the first-step compile — pass N >= 2 to also see a steady-state
+    step. Every process traces (the files are host-tagged); ``close()`` is
+    idempotent and must run on early exits so the trace is flushed (the
+    trainers call it in a ``finally``)."""
+
+    def __init__(self, job_dir, steps=0, name="train"):
+        self.remaining = int(steps or 0)
+        self.out = None
+        if self.remaining > 0:
+            import jax
+
+            self.out = os.path.join(job_dir, "profile", name)
+            os.makedirs(self.out, exist_ok=True)
+            jax.profiler.start_trace(self.out)
+
+    def step(self):
+        """Call once per completed optimizer step."""
+        if self.remaining > 0:
+            self.remaining -= 1
+            if self.remaining == 0:
+                self.close()
+
+    def close(self):
+        if self.out is not None:
+            import jax
+
+            jax.profiler.stop_trace()
+            self.out = None
+
+
 class Span:
     """with Span() as s: ...; s.ms"""
 

@@ -338,3 +338,20 @@ class TestSchedulesAndCheckpointExtras:
         )
         params, report = train_speed_predictor(rows, epochs=2)
         assert params is not None and report is not None
+
+
+def test_xla_profile_steps_writes_trace(tmp_path):
+    """--xla_profile_steps N captures one TensorBoard-viewable XLA trace of
+    the first N optimizer steps (core/profiling.StepProfiler; SURVEY §5.1 —
+    the reference has only ad-hoc time.time() prints)."""
+    from mobilesuperresolution_tpu.cli import pretrain as pretrain_cli
+
+    job = tmp_path / "job"
+    pretrain_cli.main([
+        "--job_dir", str(job), "--dataset", "synthetic_isr",
+        "--eval_datasets", "--num_blocks", "1", "--num_residual_units", "8",
+        "--scale", "2", "--train_batch_size", "8", "--lr_patch_size", "16",
+        "--num_patches", "2", "--epochs", "1", "--xla_profile_steps", "2",
+    ])
+    planes = list((job / "profile").rglob("*.xplane.pb"))
+    assert planes, "no xplane trace written under job_dir/profile"

@@ -382,3 +382,50 @@ def test_export_onnx(search_job, tmp_path):
     path = export_onnx(model, variables["params"], shape, out)
     m = onnx.load(path)
     onnx.checker.check_model(m)
+
+
+def test_compile_cache_populates(tmp_path):
+    """--compile_cache (default-on in every CLI) persists compiled programs:
+    a fresh process re-running the same job skips recompilation — the TPU
+    production restart/resume path, where one model-sized compile is tens of
+    seconds. Run in a subprocess because jax's persistent-cache backend is a
+    lazily-created singleton: the directory must be configured before the
+    process's first compile (which parse_with_plugins guarantees for real CLI
+    processes, but a prior test in THIS process has already compiled)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    cache = tmp_path / "xla_cache"
+    script = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'\n"
+        "import sys, jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from mobilesuperresolution_tpu.cli import pretrain\n"
+        "pretrain.main(sys.argv[1:])\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script,
+         "--job_dir", str(tmp_path / "job"), "--dataset", "synthetic_isr",
+         "--eval_datasets", "--num_blocks", "1", "--num_residual_units", "8",
+         "--scale", "2", "--train_batch_size", "8", "--lr_patch_size", "16",
+         "--num_patches", "2", "--epochs", "1",
+         "--compile_cache", str(cache)],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    entries = [p for p in cache.rglob("*") if p.is_file()]
+    assert entries, "compilation cache stayed empty"
+
+    # '' disables without error (in-process is fine for the off path)
+    from mobilesuperresolution_tpu.cli import prepare_dataset as prep_cli
+
+    prep_cli.main([
+        "--job_dir", str(tmp_path / "job2"), "--dataset", "synthetic_isr",
+        "--eval_datasets", "synthetic_isr", "--scale", "2",
+        "--compile_cache", "",
+    ])
