@@ -20,10 +20,55 @@ class CheckpointManager:
         self.job_dir = job_dir
         path = os.path.abspath(os.path.join(job_dir, "ckpt"))
         os.makedirs(path, exist_ok=True)
+        self._meta_path = os.path.join(path, "run_meta.json")
+        self._meta_written = False
         self._mngr = ocp.CheckpointManager(
             path,
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
+
+    def _write_run_meta(self):
+        """Chief-written sidecar pinning run topology. The per-host batch
+        partitioning (data/isr.py::_batches) and the linear LR scaling
+        (pretrain.py:216-217 semantics) are functions of process_count, so a
+        resume under a different count would silently train with a different
+        global batch and schedule — restore() refuses instead.
+
+        The first save of each manager instance OVERWRITES the sidecar: a
+        fresh (non-resume) run re-using an old job dir must not inherit a
+        stale count (a resume run has already passed _check_run_meta by the
+        time it saves, so overwriting with its own count is a no-op)."""
+        import json
+
+        if jax.process_index() != 0 or self._meta_written:
+            return
+        tmp = f"{self._meta_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"process_count": jax.process_count()}, f)
+        os.replace(tmp, self._meta_path)
+        self._meta_written = True
+
+    def _check_run_meta(self):
+        import json
+
+        if not os.path.exists(self._meta_path):
+            return
+        try:
+            with open(self._meta_path) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            return
+        saved = meta.get("process_count")
+        if saved is not None and saved != jax.process_count():
+            raise ValueError(
+                f"checkpoint was written by a {saved}-process job but this "
+                f"run has {jax.process_count()} processes: the per-host "
+                "batch partition and the linearly-scaled LR depend on the "
+                "process count, so resuming would silently change the "
+                "global batch and schedule. Relaunch with the original "
+                f"process count, or delete {self._meta_path} to accept the "
+                "changed training trajectory."
+            )
 
     def save(self, epoch: int, state, extra: Optional[dict] = None, force=False):
         """``force=True`` overwrites an existing save at this epoch id — the
@@ -38,6 +83,7 @@ class CheckpointManager:
         }
         if extra:
             payload["extra"] = jax.device_get(extra)
+        self._write_run_meta()
         if force and epoch in self._mngr.all_steps():
             self._mngr.delete(epoch)
         self._mngr.save(epoch, args=ocp.args.StandardSave(payload))
@@ -132,6 +178,7 @@ class CheckpointManager:
         self.last_extra = None
         if target_epoch is None:
             return state, 0
+        self._check_run_meta()
         has_extra = self._has_extra(target_epoch)
         if has_extra and extra_template is None:
             extra_template = self._extra_template_from_disk(target_epoch)

@@ -334,3 +334,33 @@ def test_nas_speed_table_bounds_rejected():
     small_table = jnp.ones((3, 9, 9), jnp.float32)  # covers only ch<=8
     with pytest.raises(ValueError, match="re-densify"):
         model.init(jax.random.key(0), x, small_table)
+
+
+def test_restore_rejects_process_count_change(tmp_path):
+    """Resuming under a different process count silently changes the global
+    batch and the linearly-scaled LR — restore() refuses via the run_meta
+    sidecar (train/checkpoint.py::_check_run_meta)."""
+    import json
+
+    model = BasicModel(num_blocks=1, num_residual_units=8, scale=2)
+    tx = multistep_adam(1e-3, steps_per_epoch=2, epochs=2)
+    state = create_train_state(model, jax.random.key(0), jnp.zeros((1, 8, 8, 3)), tx)
+    mngr = CheckpointManager(str(tmp_path))
+    mngr.save(epoch=1, state=state)
+
+    meta = tmp_path / "ckpt" / "run_meta.json"
+    assert json.loads(meta.read_text()) == {"process_count": 1}
+
+    meta.write_text(json.dumps({"process_count": 4}))
+    with pytest.raises(ValueError, match="4-process job"):
+        CheckpointManager(str(tmp_path)).restore(state)
+
+    # a FRESH run (no restore) re-using the job dir refreshes the sidecar
+    CheckpointManager(str(tmp_path)).save(epoch=2, state=state)
+    assert json.loads(meta.read_text()) == {"process_count": 1}
+
+    # deleting the sidecar is the documented override
+    meta.write_text(json.dumps({"process_count": 4}))
+    meta.unlink()
+    _, epoch = CheckpointManager(str(tmp_path)).restore(state)
+    assert epoch == 2
