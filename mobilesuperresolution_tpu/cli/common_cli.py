@@ -70,17 +70,19 @@ def base_parser(description):
                         "includes the first-step compile, so N >= 2 also "
                         "shows a steady-state step). 0 = off. SURVEY §5.1 — "
                         "the reference has only ad-hoc time.time() prints.")
-    parser.add_argument("--compile_cache", type=str,
-                        default=os.path.join(
-                            os.path.expanduser("~"), ".cache",
-                            "mobilesuperresolution_tpu", "xla",
-                        ),
+    parser.add_argument("--compile_cache", type=str, default=None,
                         help="Persistent XLA compilation cache directory: "
                         "re-runs, --resume restarts, and preemption rerun "
                         "loops (launchers/with_retries.sh) skip recompiling "
                         "unchanged programs — on TPU backends a model-sized "
                         "compile is tens of seconds. Content-addressed, safe "
-                        "to share between jobs. '' disables.")
+                        "to share between jobs. Default: "
+                        "~/.cache/mobilesuperresolution_tpu/xla on "
+                        "accelerator backends, OFF on CPU (CPU cache entries "
+                        "are machine-code AOT blobs — stale or "
+                        "foreign-machine entries reload with mismatched CPU "
+                        "features, risking SIGILL; an explicit path opts in "
+                        "anyway). '' disables.")
     # multi-host runtime (the reference's --distributed + NCCL env:// init,
     # pretrain.py:153-159; here jax.distributed over ICI/DCN)
     parser.add_argument("--distributed", action="store_true",
@@ -113,17 +115,39 @@ def parse_with_plugins(parser, argv=None, with_models=True):
     )
 
     initialize_from_params(params)
-    if getattr(params, "compile_cache", ""):
-        import jax
-
-        os.makedirs(params.compile_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", params.compile_cache)
-        # cache every program regardless of size/compile time — this
-        # framework's programs are few and reused across restarts
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    _setup_compile_cache(params)
     os.makedirs(params.job_dir, exist_ok=True)
     return params, dataset_module
+
+
+def _setup_compile_cache(params):
+    """Wire the persistent XLA compilation cache (--compile_cache).
+
+    None (the default) resolves to the shared home cache dir on accelerator
+    backends and to OFF on CPU: CPU cache entries are AOT machine code, and
+    loading an entry compiled with different CPU features (another machine,
+    or a remote compile service) degrades to per-load multi-KB
+    feature-mismatch warnings at best and SIGILL at worst — while a CPU
+    recompile costs little. An explicit path enables caching on any backend.
+    """
+    cache = getattr(params, "compile_cache", None)
+    if cache == "":
+        return
+    if cache is None:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "mobilesuperresolution_tpu", "xla")
+    import jax
+
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    # cache every program regardless of size/compile time — this
+    # framework's programs are few and reused across restarts
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
 def eval_modules(params):

@@ -20,6 +20,8 @@ Must be called before the first JAX backend touch; ``parse_with_plugins``
 calls :func:`initialize_from_params` immediately after flag parsing.
 """
 
+import os
+
 import jax
 
 _initialized = False
@@ -40,6 +42,15 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
         kwargs["process_id"] = process_id
     if local_device_ids is not None:
         kwargs["local_device_ids"] = local_device_ids
+    # The shutdown barrier fires when the fastest process finishes its job;
+    # the slowest must reach it within this window or the whole cluster is
+    # torn down ("Shutdown barrier has failed"). Per-host epoch tails
+    # (chief-only eval/checkpoint IO) and contended hosts can exceed the
+    # 300 s JAX default, so default higher and leave an env escape hatch.
+    kwargs["shutdown_timeout_seconds"] = int(
+        os.environ.get("MSR_DISTRIBUTED_SHUTDOWN_TIMEOUT", "1800"))
+    kwargs["initialization_timeout"] = int(
+        os.environ.get("MSR_DISTRIBUTED_INIT_TIMEOUT", "600"))
     jax.distributed.initialize(**kwargs)
     _initialized = True
 

@@ -44,18 +44,23 @@ def _parse_last_json(text):
     raise AssertionError(f"no JSON line in output:\n{text}")
 
 
-def _launch(args):
-    return subprocess.Popen(
-        [sys.executable, WORKER, *args],
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        env=_env(),
-    )
+def _launch(args, out_path):
+    """Launch a worker with stdout/stderr to a FILE: a PIPE that is not
+    drained until communicate() can fill (64 KiB of backend warnings is
+    easy) and freeze the worker mid-cluster, deadlocking the others."""
+    with open(out_path, "w") as out_f:
+        return subprocess.Popen(
+            [sys.executable, WORKER, *args],
+            stdout=out_f,
+            stderr=subprocess.STDOUT,
+            text=True,
+            env=_env(),
+        )
 
 
-def test_two_process_cluster_matches_single_process():
+def test_two_process_cluster_matches_single_process(tmp_path):
     port = _free_port()
+    paths = [tmp_path / f"worker{i}.txt" for i in range(2)]
     cluster = [
         _launch(
             [
@@ -63,13 +68,15 @@ def test_two_process_cluster_matches_single_process():
                 "--num_processes", "2",
                 "--process_id", str(i),
                 "--devices_per_process", "2",
-            ]
+            ],
+            paths[i],
         )
         for i in range(2)
     ]
     outs = []
-    for p in cluster:
-        out, _ = p.communicate(timeout=600)
+    for p, path in zip(cluster, paths):
+        p.wait(timeout=600)
+        out = path.read_text()
         outs.append(out)
         assert p.returncode == 0, out
     results = [_parse_last_json(o) for o in outs]
@@ -78,11 +85,14 @@ def test_two_process_cluster_matches_single_process():
     # both cluster members observe the identical (psum-reduced) loss
     np.testing.assert_array_equal(results[0]["losses"], results[1]["losses"])
 
+    single_path = tmp_path / "single.txt"
     single = _launch(
         ["--port", str(_free_port()), "--num_processes", "1",
-         "--devices_per_process", "4"]
+         "--devices_per_process", "4"],
+        single_path,
     )
-    out, _ = single.communicate(timeout=600)
+    single.wait(timeout=600)
+    out = single_path.read_text()
     assert single.returncode == 0, out
     ref = _parse_last_json(out)
     assert ref["process_count"] == 1
@@ -167,19 +177,21 @@ def test_pretrain_cli_multiprocess(tmp_path):
         "--coordinator_address", f"localhost:{port}",
         "--num_processes", "2",
     ]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", script, *common, "--process_id", str(i)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=_env(),
-        )
-        for i in range(2)
-    ]
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        assert p.returncode == 0, out
+    out_paths = [tmp_path / f"cli_worker{i}.txt" for i in range(2)]
+    procs = []
+    for i in range(2):
+        with open(out_paths[i], "w") as out_f:
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", script, *common,
+                 "--process_id", str(i)],
+                stdout=out_f,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=_env(),
+            ))
+    for p, path in zip(procs, out_paths):
+        p.wait(timeout=600)
+        assert p.returncode == 0, path.read_text()
     log = (job / "result.log").read_text()
     assert "Finish Training" in log
     assert (job / "weights" / "models.npz").exists()

@@ -385,7 +385,8 @@ def test_export_onnx(search_job, tmp_path):
 
 
 def test_compile_cache_populates(tmp_path):
-    """--compile_cache (default-on in every CLI) persists compiled programs:
+    """--compile_cache (default-on on accelerator backends; an explicit path
+    enables it anywhere, incl. this CPU subprocess) persists compiled programs:
     a fresh process re-running the same job skips recompilation — the TPU
     production restart/resume path, where one model-sized compile is tens of
     seconds. Run in a subprocess because jax's persistent-cache backend is a

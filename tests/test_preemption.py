@@ -204,23 +204,28 @@ def test_crash_sigkill_resume_bit_exact(tmp_path):
     pretrain_cli.main(flags(ref))
 
     job = tmp_path / "crashed"
-    proc = subprocess.Popen(
-        [sys.executable, "-c", script, *flags(job),
-         "--checkpoint_every_steps", "1"],
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
-    )
+    # subprocess output goes to a FILE, not a PIPE: the child may emit
+    # many KB of backend warnings before we'd ever drain a pipe, and a
+    # full 64 KiB pipe blocks its main thread before "epoch 1" is reached
+    out_path = tmp_path / "crashed_stdout.txt"
+    with open(out_path, "w") as out_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-c", script, *flags(job),
+             "--checkpoint_every_steps", "1"],
+            stdout=out_f, stderr=subprocess.STDOUT, text=True, env=env,
+        )
     log = job / "result.log"
     try:
         deadline = time.time() + 300
         while time.time() < deadline:
             if log.exists() and "epoch 1:" in log.read_text():
                 break
-            assert proc.poll() is None, proc.communicate()[0]
+            assert proc.poll() is None, out_path.read_text()
             time.sleep(0.25)
         else:
             raise AssertionError("training never reached epoch 1")
         proc.kill()  # SIGKILL: no clean-exit path runs
-        proc.communicate(timeout=60)
+        proc.wait(timeout=60)
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -271,16 +276,21 @@ def test_multiprocess_sigterm_stops_all_hosts(tmp_path):
         "--coordinator_address", f"localhost:{port}",
         "--num_processes", "2",
     ]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, "-c", script, *common, "--process_id", str(i)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
-        )
-        for i in range(2)
-    ]
+    # per-worker output FILES, not PIPEs: backend warnings can exceed pipe
+    # capacity long before we drain, freezing the worker mid-startup (and a
+    # frozen worker stalls the whole cluster at the next collective)
+    out_paths = [tmp_path / f"worker{i}_stdout.txt" for i in range(2)]
+    procs = []
+    for i in range(2):
+        with open(out_paths[i], "w") as out_f:
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", script, *common,
+                 "--process_id", str(i)],
+                stdout=out_f,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            ))
     try:
         # signal only after the guard is installed and training is underway
         # (the first end-of-epoch log line); before that, default SIGTERM
@@ -291,15 +301,15 @@ def test_multiprocess_sigterm_stops_all_hosts(tmp_path):
             if log.exists() and "epoch 1:" in log.read_text():
                 break
             if any(p.poll() is not None for p in procs):
-                outs = [p.communicate()[0] for p in procs]
+                outs = [p.read_text() for p in out_paths]
                 raise AssertionError(f"worker died early:\n{outs}")
             time.sleep(1.0)
         else:
             raise AssertionError("training never reached epoch 1")
         procs[1].send_signal(signal.SIGTERM)  # the NON-chief process only
-        for p in procs:
-            out, _ = p.communicate(timeout=300)
-            assert p.returncode == 0, out
+        for p, path in zip(procs, out_paths):
+            p.wait(timeout=300)
+            assert p.returncode == 0, path.read_text()
     finally:
         for p in procs:
             if p.poll() is None:
