@@ -105,6 +105,54 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     )
 
 
+def test_two_process_search_step_matches_single_process(tmp_path):
+    """The signature workload (NAS search, search.py:290-405) across a REAL
+    2-process cluster: phase-masked optimizer + replicated measured speed
+    table + traced latency. The cluster must reproduce the single-process
+    loss/speed trajectory AND discover the identical surviving architecture
+    (remain_idx/remain_width — the block_index.txt content, search.py:125-127)."""
+    port = _free_port()
+    paths = [tmp_path / f"sworker{i}.txt" for i in range(2)]
+    cluster = [
+        _launch(
+            [
+                "--port", str(port),
+                "--num_processes", "2",
+                "--process_id", str(i),
+                "--devices_per_process", "2",
+                "--workload", "search",
+            ],
+            paths[i],
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p, path in zip(cluster, paths):
+        p.wait(timeout=600)
+        out = path.read_text()
+        outs.append(out)
+        assert p.returncode == 0, out
+    results = [_parse_last_json(o) for o in outs]
+    assert all(r["process_count"] == 2 for r in results), results
+    np.testing.assert_array_equal(results[0]["losses"], results[1]["losses"])
+
+    single_path = tmp_path / "ssingle.txt"
+    single = _launch(
+        ["--port", str(_free_port()), "--num_processes", "1",
+         "--devices_per_process", "4", "--workload", "search"],
+        single_path,
+    )
+    single.wait(timeout=600)
+    out = single_path.read_text()
+    assert single.returncode == 0, out
+    ref = _parse_last_json(out)
+    np.testing.assert_allclose(results[0]["losses"], ref["losses"], rtol=1e-6)
+    np.testing.assert_allclose(results[0]["speeds"], ref["speeds"], rtol=1e-6)
+    assert results[0]["remain_idx"] == ref["remain_idx"]
+    assert results[0]["remain_width"] == ref["remain_width"]
+    np.testing.assert_allclose(results[0]["checksum"], ref["checksum"], rtol=1e-5)
+
+
 def test_per_host_batch_counts_equalized(monkeypatch):
     """Every process must run the SAME number of batches per epoch — the
     train step is a cross-host collective, so one host running an extra
