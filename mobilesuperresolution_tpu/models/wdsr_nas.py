@@ -22,9 +22,10 @@ Reference: models/wdsr_b.py — ``NAS_MODEL`` (30-250), ``Split_Block`` (405-501
 
 Structure per block (Split_Block.forward_body, wdsr_b.py:482-496):
   x1 = split_gate * x ; x2 = x - x1
-  x3 = x2 + Σ_k softmax(alpha)_k · ConvSep_k(x1) + x1   (k ∈ {3,5,7})
+  x3 = x2 + Σ_k softmax(alpha)_k · ReLU(ConvSep_k(x1)) + x1   (k ∈ {3,5,7})
   out = x2 + split_gate * x3
-with ConvSep = depthwise kxk WN-conv → ReLU → 1x1 WN-conv.
+with ConvSep = depthwise kxk WN-conv → ReLU → 1x1 WN-conv, and the trailing
+ReLU from the reference's Sequential(Conv_sep, ReLU) branch (wdsr_b.py:455-460).
 """
 
 from typing import Any
@@ -104,7 +105,10 @@ class SplitBlock(nn.Module):
         pro = jax.nn.softmax(alpha).astype(dt)
         x3 = x2
         for i, k in enumerate(KERNEL_CHOICES):
-            x3 = x3 + ConvSep(r, k, name=f"branch_{k}")(x1) * pro[i]
+            # the reference wraps each branch as Sequential(Conv_sep, ReLU)
+            # (wdsr_b.py:455-460) — the trailing ReLU applies BEFORE the
+            # softmax mixing weight
+            x3 = x3 + nn.relu(ConvSep(r, k, name=f"branch_{k}")(x1)) * pro[i]
         x3 = x3 + x1
         sr2 = x2 + x3 * m_split
 

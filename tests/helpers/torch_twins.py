@@ -1,0 +1,244 @@
+"""Functional torch twins of the reference's training stacks — shared by
+the lockstep training-parity tests (tests/test_training_parity.py) and the
+convergence-artifact generator (scripts/make_convergence_artifacts.py).
+
+Written from the reference's SEMANTICS with raw tensors +
+torch.nn.functional (never imported from /root/reference): WDSR-B
+(models/basic_wdsr_b.py:16-144) and the NAS supernet (models/wdsr_b.py:30-137,
+405-616, models/ops.py:7-43).
+"""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+
+def _t(a, grad=True):
+    t = torch.from_numpy(np.array(a, np.float32))
+    t.requires_grad_(grad)
+    return t
+
+
+def _wn_weight(v, g):
+    """torch weight_norm(dim=0) effective kernel from raw (v: OIHW, g: (O,))."""
+    norm = v.flatten(1).norm(dim=1)
+    return (g / norm).view(-1, 1, 1, 1) * v
+
+
+def _wn_conv(x, p, k, groups=1):
+    return F.conv2d(x, _wn_weight(p["v"], p["g"]), p["b"], padding=k // 2, groups=groups)
+
+
+def _flax_wn_to_torch(p, grad=True):
+    """Our WNConv {v (k,k,i,o), g (o,), b (o,)} → torch tensors (v OIHW)."""
+    return {
+        "v": _t(np.transpose(np.asarray(p["v"]), (3, 2, 0, 1)), grad),
+        "g": _t(np.asarray(p["g"]), grad),
+        "b": _t(np.asarray(p["b"]), grad),
+    }
+
+
+
+class _TorchWdsrTwin:
+    """Functional WDSR-B twin over a flat torch-tensor tree converted from our
+    flax init (reference forward: models/basic_wdsr_b.py:16-144; train step:
+    pretrain.py:61-82 — Adam + MultiStepLR([E/2, 9E/10], 0.3))."""
+
+    def __init__(self, flax_params, num_blocks, scale=2, image_mean=0.5):
+        self.nb = num_blocks
+        self.scale = scale
+        self.mean = image_mean
+        self.p = {"head": _flax_wn_to_torch(flax_params["WNConv_0"])}
+        for i in range(num_blocks):
+            b = flax_params[f"BasicBlock_{i}"]
+            self.p[f"block{i}"] = {
+                j: _flax_wn_to_torch(b[f"WNConv_{j}"]) for j in range(3)
+            }
+        self.p["tail"] = _flax_wn_to_torch(flax_params["WNConv_1"])
+        self.p["skip"] = _flax_wn_to_torch(flax_params["WNConv_2"])
+
+    def tensors(self):
+        out = []
+        for v in self.p.values():
+            if "v" in v:
+                out.extend([v["v"], v["g"], v["b"]])
+            else:
+                for c in v.values():
+                    out.extend([c["v"], c["g"], c["b"]])
+        return out
+
+    def forward(self, x):
+        x = x - self.mean
+        y = _wn_conv(x, self.p["head"], 3)
+        for i in range(self.nb):
+            b = self.p[f"block{i}"]
+            z = _wn_conv(y, b[0], 1)
+            z = F.relu(z)
+            z = _wn_conv(z, b[1], 1)
+            z = _wn_conv(z, b[2], 3)
+            y = y + z
+        y = _wn_conv(y, self.p["tail"], 3)
+        y = y + _wn_conv(x, self.p["skip"], 5)
+        return F.pixel_shuffle(y, self.scale) + self.mean
+
+
+
+def _torch_rounding(w, least):
+    """models/ops.py:33-43."""
+    hard = (w >= 0.5).float()
+    if least <= 0:
+        return hard
+    v, _ = torch.topk(w.flatten(), least)
+    floor = (w >= v[-1]).float()
+    return hard if hard.sum() >= least else floor
+
+
+def _ste_gate(w, least):
+    """BinaryConv2d's residual STE trick (models/ops.py:18-26) on a gate
+    vector: forward = rounding(w), gradient = identity."""
+    with torch.no_grad():
+        binary = _torch_rounding(w.detach(), least)
+    return w - (w.detach() - binary)
+
+
+def _condition(a1, a2):
+    """ConditionFunction (wdsr_b.py:594-616): hard select, identity grads."""
+    with torch.no_grad():
+        keep = (a1 >= a2).float()
+    b1 = a1 - (a1.detach() - keep)
+    b2 = a2 - (a2.detach() - (1.0 - keep))
+    return b1, b2
+
+
+class _TorchSupernetTwin:
+    """Functional NAS_MODEL twin (wdsr_b.py:30-137 forward, Split_Block
+    :405-501, MyAggregationLayer :503-554) over tensors converted from our
+    flax init. Branch = Sequential(Conv_sep(dw k -> ReLU -> 1x1), ReLU)."""
+
+    KERNELS = (3, 5, 7)
+
+    def __init__(self, flax_params, num_blocks, units, scale=2, image_mean=0.5):
+        self.nb, self.r, self.scale, self.mean = num_blocks, units, scale, image_mean
+        P = flax_params
+        self.p = {
+            "head": _flax_wn_to_torch(P["head"]),
+            "tail": _flax_wn_to_torch(P["tail"]),
+            "skip": _flax_wn_to_torch(P["skip"]),
+            "mask_w": _t(P["mask_w"]),
+        }
+        for i in range(num_blocks):
+            b = P[f"block_{i}"]
+            blk = {
+                "split_w": _t(b["split_w"]),
+                "alpha": _t(b["alpha"]),
+                "alpha1": _t(b["alpha1"]),
+                "alpha2": _t(b["alpha2"]),
+            }
+            for k in self.KERNELS:
+                br = b[f"branch_{k}"]
+                blk[f"dw{k}"] = _flax_wn_to_torch(br["WNConv_0"])
+                blk[f"pw{k}"] = _flax_wn_to_torch(br["WNConv_1"])
+            self.p[f"block{i}"] = blk
+
+    def tensors(self):
+        out = [self.p["mask_w"]]
+        for name in ("head", "tail", "skip"):
+            c = self.p[name]
+            out.extend([c["v"], c["g"], c["b"]])
+        for i in range(self.nb):
+            b = self.p[f"block{i}"]
+            out.extend([b["split_w"], b["alpha"], b["alpha1"], b["alpha2"]])
+            for k in self.KERNELS:
+                for c in (b[f"dw{k}"], b[f"pw{k}"]):
+                    out.extend([c["v"], c["g"], c["b"]])
+        return out
+
+    def _block_speed(self, blk):
+        """estimateByMyMask (speed_estimator.py:56-76): analytic latency under
+        no_grad — RAW alpha (not softmax), rounding with least_channel=8 for
+        both gates."""
+        with torch.no_grad():
+            ch0 = _torch_rounding(self.p["mask_w"].detach(), 8).sum()
+            ch1 = _torch_rounding(blk["split_w"].detach(), 8).sum()
+            out = torch.zeros(())
+            for i, k in enumerate(self.KERNELS):
+                out = out + (ch1 + 0.2 * ch0) * (k * k) * blk["alpha"][i] / 40.0
+        return out
+
+    def forward(self, x):
+        x = x - self.mean
+        y = _wn_conv(x, self.p["head"], 3)
+        m = _ste_gate(self.p["mask_w"], 8).view(1, -1, 1, 1)
+        speed_accu = torch.zeros(())
+        for i in range(self.nb):
+            blk = self.p[f"block{i}"]
+            speed_curr = self._block_speed(blk)
+            y = y * m  # the model-wide BinaryConv2d mask (wdsr_b.py:116)
+            # Split_Block.forward_body (wdsr_b.py:482-496)
+            ms = _ste_gate(blk["split_w"], 0).view(1, -1, 1, 1)
+            x1 = y * ms
+            x2 = y - x1
+            pro = F.softmax(blk["alpha"], dim=0)
+            x3 = x2
+            for j, k in enumerate(self.KERNELS):
+                z = _wn_conv(x1, blk[f"dw{k}"], k, groups=self.r)
+                z = F.relu(z)
+                z = _wn_conv(z, blk[f"pw{k}"], 1)
+                z = F.relu(z)  # trailing ReLU of Sequential(Conv_sep, ReLU)
+                x3 = x3 + z * pro[j]
+            x3 = x3 + x1
+            sr2 = x2 + x3 * ms
+            b1, b2 = _condition(blk["alpha1"], blk["alpha2"])
+            y = b1 * y + b2 * sr2
+            speed_accu = b2 * speed_curr + speed_accu
+        y = y * m
+        y = _wn_conv(y, self.p["tail"], 3) + _wn_conv(x, self.p["skip"], 5)
+        return F.pixel_shuffle(y, self.scale) + self.mean, speed_accu
+
+    def surviving_arch(self):
+        """get_block_status + get_width_from_block_idx (wdsr_b.py:139-183)."""
+        idx, width = [], []
+        with torch.no_grad():
+            mask_n = int(_torch_rounding(self.p["mask_w"], 8).sum())
+            for i in range(self.nb):
+                blk = self.p[f"block{i}"]
+                if float(blk["alpha1"]) < float(blk["alpha2"]):
+                    idx.append(i)
+                    both = _torch_rounding(self.p["mask_w"], 8) * _torch_rounding(
+                        blk["split_w"], 8
+                    )
+                    width.append(
+                        [
+                            mask_n,
+                            int(both.sum()),
+                            self.KERNELS[int(blk["alpha"].argmax())],
+                        ]
+                    )
+        return idx, width
+
+
+
+
+def torch_wn_to_flax(p):
+    """torch twin conv {v (OIHW), g, b} -> our WNConv {v (HWIO), g, b}."""
+    return {
+        "v": np.ascontiguousarray(
+            p["v"].detach().numpy().transpose(2, 3, 1, 0)
+        ),
+        "g": p["g"].detach().numpy().copy(),
+        "b": p["b"].detach().numpy().copy(),
+    }
+
+
+def wdsr_twin_to_flax_params(twin):
+    """Final torch-twin weights -> flax params for models.wdsr_basic.BasicModel
+    (inverse of the init-sharing conversion) so the SAME jax eval harness
+    scores both frameworks' trained weights."""
+    out = {"WNConv_0": torch_wn_to_flax(twin.p["head"])}
+    for i in range(twin.nb):
+        out[f"BasicBlock_{i}"] = {
+            f"WNConv_{j}": torch_wn_to_flax(twin.p[f"block{i}"][j]) for j in range(3)
+        }
+    out["WNConv_1"] = torch_wn_to_flax(twin.p["tail"])
+    out["WNConv_2"] = torch_wn_to_flax(twin.p["skip"])
+    return out
