@@ -106,17 +106,24 @@ def _ssim_map(x, y, kernel1d, k1=0.01, k2=0.03, data_range=1.0, win_size=11):
 
 
 def ssim(sr, hr, shave=4):
-    """Gaussian-weighted SSIM on the Y channel. sr/hr: (H, W, C) or
-    (B, H, W, C) in [0,1]; a batch returns the per-image SUM (the same
-    accounting as ``psnr`` — callers divide by their own total). The
-    'valid' window means no boundary handling is needed (skimage crops the
-    filter radius, which equals our shrinkage)."""
-    if sr.ndim == 4:
-        # per-image sum, never a silent first-item pick
-        return sum(ssim(s, h, shave) for s, h in zip(sr, hr))
+    """Gaussian-weighted SSIM on the Y channel. sr/hr: (..., H, W, C) in
+    [0,1]; leading axes (batch, or batch+time for video) return the per-image
+    SUM (the same accounting as ``psnr`` — callers divide by their own
+    total). The 'valid' window means no boundary handling is needed (skimage
+    crops the filter radius, which equals our shrinkage).
+
+    Leading axes are vmapped — one fused XLA program per (H, W) shape instead
+    of a per-frame host loop (the reference evals SSIM frame-by-frame on the
+    CPU, utils/estimate.py:103-108; train/evaluate.py uses this batched form
+    on-device)."""
+    if sr.ndim == 3:
+        x, y = _to_y_pair(sr, hr, shave)
+        return jnp.mean(_ssim_map(x, y, _gaussian_kernel1d()))
+    sr = sr.reshape((-1,) + sr.shape[-3:])
+    hr = hr.reshape((-1,) + hr.shape[-3:])
     x, y = _to_y_pair(sr, hr, shave)
-    s = _ssim_map(x, y, _gaussian_kernel1d())
-    return jnp.mean(s)
+    maps = jax.vmap(lambda a, b: _ssim_map(a, b, _gaussian_kernel1d()))(x, y)
+    return jnp.sum(jnp.mean(maps, axis=(-2, -1)))
 
 
 def ssim_np(sr, hr, shave=4):
