@@ -67,6 +67,19 @@ def add_vsr_args(parser):
     parser.add_argument("--chunk_data_parallel", action="store_true",
                         help="Shard groups of chunk windows over the mesh "
                         "'data' axis (device-parallel long-clip eval).")
+    parser.add_argument("--spatial_shards", type=int, default=1,
+                        help="Eval-only (model_type=basic): shard frame "
+                        "HEIGHT over this many devices — recurrent "
+                        "propagation exchanges halo rows per step over ICI "
+                        "(parallel/vsr_spatial.py); SpyNet/reconstruction "
+                        "run frame-parallel. Matches full-frame output "
+                        "whenever flow row displacement fits the "
+                        "--spatial_max_disp budget. H must divide evenly. "
+                        "Mutually exclusive with --chunk_frames.")
+    parser.add_argument("--spatial_max_disp", type=int, default=8,
+                        help="Halo row budget for --spatial_shards: flow dy "
+                        "is clipped to ±this many rows (adjacent-frame "
+                        "motion at 240p is typically 1-3 px).")
     parser.add_argument("--flow_downscale", type=int, default=1,
                         help="Run SpyNet on 1/d-res frames and upsample the "
                         "flow (basic/basic_origin; 1 = exact reference flows).")
@@ -101,7 +114,38 @@ def run_vsr_evaluation(params, state, model, eval_mods, logging, epoch):
     def base_fwd(lr_clip, oh, ow):
         return jitted(eval_params, lr_clip, oh, ow)
 
-    if getattr(params, "chunk_frames", 0):
+    if getattr(params, "spatial_shards", 1) > 1:
+        if getattr(params, "chunk_frames", 0):
+            raise SystemExit(
+                "--spatial_shards and --chunk_frames are mutually exclusive "
+                "(height sharding already bounds per-device memory)"
+            )
+        from mobilesuperresolution_tpu.parallel.vsr_spatial import (
+            spatial_basicvsr_forward,
+        )
+
+        n_dev = len(jax.devices())
+        if n_dev % params.spatial_shards:
+            raise SystemExit(
+                f"--spatial_shards {params.spatial_shards} does not divide "
+                f"the {n_dev} available devices"
+            )
+        # remaining devices sit on the (replicated) data axis
+        sp_mesh = make_mesh(
+            data=n_dev // params.spatial_shards, spatial=params.spatial_shards
+        )
+        sp_jitted = jax.jit(
+            lambda p, x, oh, ow: spatial_basicvsr_forward(
+                model, p, x, oh, ow, sp_mesh,
+                max_disp=params.spatial_max_disp,
+            ),
+            static_argnums=(2, 3),
+        )
+
+        def fwd(lr_clip, oh, ow):
+            return sp_jitted(eval_params, lr_clip, oh, ow)
+
+    elif getattr(params, "chunk_frames", 0):
         from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
 
         chunk_mesh = (

@@ -68,7 +68,14 @@ class _DualTrunk(nn.Module):
     quantized: bool = False
 
     @nn.compact
-    def __call__(self, y):
+    def __call__(self, y, row_mask=None):
+        """row_mask: optional 0/1 mask broadcastable to (..., H, W, C),
+        multiplied onto EVERY conv output (and assumed pre-applied to the
+        input). Used by the spatially-sharded path (parallel/vsr_spatial.py)
+        to reproduce full-frame 'SAME' zero padding at true image edges
+        inside halo windows: full-frame padding re-zeroes out-of-image rows
+        at every layer, while un-masked halo rows would accumulate
+        bias/activation values (see parallel/halo.py's note)."""
         cin = y.shape[-1] // 2
         nf = self.num_feat
         dn = ("NHWC", "HWIO", "NHWC")
@@ -89,9 +96,12 @@ class _DualTrunk(nn.Module):
             return k, b
 
         def conv(z, k, b):
-            return conv2d_maybe_quantized(
+            out = conv2d_maybe_quantized(
                 z, k, b, quantized=self.quantized, dimension_numbers=dn
             )
+            if row_mask is not None:
+                out = out * row_mask.astype(out.dtype)
+            return out
 
         k0, b0 = dual_conv("conv0", cin, nf)
         y = lrelu(conv(y, k0, b0))
