@@ -62,9 +62,29 @@ def add_search_args(parser):
     parser.add_argument("--speed_table", type=str, default=None,
                         help="Measured (N,4) latency table: a .npy path from "
                         "kernels/timing.py, a packaged device name (e.g. "
-                        "'tpu_v5_lite'), or 'auto' for the current backend's "
-                        "checked-in table. Replaces the analytic fallback "
-                        "with real measurements.")
+                        "'tpu_v5_lite', 'huawei_p30_cpu'), or 'auto' for the "
+                        "current backend's checked-in table. Replaces the "
+                        "analytic fallback with real measurements. NOTE: "
+                        "packaged TPU latencies are measured at the NEMO "
+                        "protocol shape hw=240x426 (kernels/timing.py; the "
+                        "reference measures the same LR resolution, "
+                        "datasets/_vsr.py:470) — for a very different "
+                        "deployment shape, re-measure with "
+                        "--build_speed_table.")
+    parser.add_argument("--speed_table_fill", type=str, default="linear",
+                        choices=("linear", "nearest"),
+                        help="How off-grid (ch_mask, ch_split) configs get "
+                        "latencies from the measured table: 'linear' "
+                        "interpolation (smooth search signal) or 'nearest' "
+                        "measured config (piecewise-constant).")
+    parser.add_argument("--speed_predictor", type=str, default=None,
+                        help="Trained SpeedPredictor weights: a .msgpack path "
+                        "(nas/speed_model.py), a packaged device name (e.g. "
+                        "'tpu_v5_lite'), or 'auto'. The MLP fills the dense "
+                        "latency table — learned interpolation of the "
+                        "measured configs (the reference's estimateByMask "
+                        "path its TODO disabled, speed_estimator.py:70-73). "
+                        "Mutually exclusive with --speed_table.")
     parser.add_argument("--build_speed_table", action="store_true",
                         help="Run the on-TPU timing harness first and use the "
                         "resulting table (written to <job_dir>/speed_table.npy).")
@@ -105,6 +125,8 @@ def main(argv=None):
         )
         params.speed_table = table_path
         logging.info(f"latency table ({rows.shape[0]} rows) → {table_path}")
+    if params.speed_table and params.speed_predictor:
+        raise SystemExit("--speed_table and --speed_predictor are mutually exclusive")
     if params.speed_table:
         import os as _os
 
@@ -120,16 +142,67 @@ def main(argv=None):
                 None if params.speed_table == "auto" else params.speed_table
             )
             if resolved is None:
+                import glob as _glob
+
+                from mobilesuperresolution_tpu.nas.speed_estimator import (
+                    SPEED_TABLE_DIR,
+                )
+
+                shipped = sorted(
+                    _os.path.basename(p)[: -len(".npy")]
+                    for p in _glob.glob(_os.path.join(SPEED_TABLE_DIR, "*.npy"))
+                )
+                kind = jax.devices()[0].device_kind
                 raise SystemExit(
                     f"--speed_table {params.speed_table!r}: not a file and no "
-                    "packaged table of that name (nas/speed_tables/)"
+                    f"packaged table for this backend (device kind {kind!r}). "
+                    f"Packaged tables: {shipped}. To measure THIS backend, "
+                    "re-run with --build_speed_table (on-TPU timing harness, "
+                    "writes <job_dir>/speed_table.npy), or pass one of the "
+                    "packaged names to target that device."
                 )
             params.speed_table = resolved
         rows = _np.load(params.speed_table)
         speed_table = jnp.asarray(
-            densify_speed_table(rows, max_ch=params.num_residual_units)
+            densify_speed_table(
+                rows,
+                max_ch=params.num_residual_units,
+                method=params.speed_table_fill,
+            )
         )
-        logging.info(f"using measured latency table from {params.speed_table}")
+        logging.info(
+            f"using measured latency table from {params.speed_table} "
+            f"(fill={params.speed_table_fill})"
+        )
+    elif params.speed_predictor:
+        import os as _os
+
+        from mobilesuperresolution_tpu.nas.speed_estimator import (
+            densify_from_predictor,
+        )
+        from mobilesuperresolution_tpu.nas.speed_model import (
+            load_predictor,
+            packaged_predictor_path,
+        )
+
+        path = params.speed_predictor
+        if not _os.path.exists(path):
+            path = packaged_predictor_path(
+                None if params.speed_predictor == "auto" else params.speed_predictor
+            )
+            if path is None:
+                raise SystemExit(
+                    f"--speed_predictor {params.speed_predictor!r}: not a file "
+                    "and no packaged predictor of that name "
+                    "(nas/speed_tables/*_predictor.msgpack); train one with "
+                    "nas.speed_model.train_speed_predictor on a measured table"
+                )
+        speed_table = jnp.asarray(
+            densify_from_predictor(
+                load_predictor(path), max_ch=params.num_residual_units
+            )
+        )
+        logging.info(f"using MLP latency predictor from {path}")
 
     # Supernet baseline speed: with a measured table, num_blocks × the
     # measured full-width k=7 block (the table analog of get_ori_speed =

@@ -86,17 +86,115 @@ def block_speed_from_gates(mask_w, split_w, alpha, differentiable=False, speed_t
     return out
 
 
-def densify_speed_table(rows, max_ch):
+def densify_speed_table(rows, max_ch, method="linear"):
     """(N, 4) measured rows [ch_in, ch_split, kernel, ms] → dense
-    (3, max_ch+1, max_ch+1) table [kernel_idx, ch_split, ch_mask] by
-    nearest-config lookup, ready for in-model use."""
-    est = TableSpeedEstimator(rows)
+    (3, max_ch+1, max_ch+1) table [kernel_idx, ch_split, ch_mask], ready for
+    in-model use.
+
+    method="linear" (default): separable linear interpolation over the
+    measured (ch_mask, ch_split) grid — off-grid channel configs get values
+    BETWEEN their measured neighbors, so the search's traced latency varies
+    continuously in channel count instead of the nearest-config fill's
+    piecewise-constant steps (the reference's TODO at
+    speed_models/speed_estimator.py:70-73 — its analytic fallback is smooth;
+    a measured table should not be worse). Extrapolation clamps to the edge
+    of the measured range.
+
+    method="nearest": the nearest measured config (r1/r2 behavior)."""
+    if method == "nearest":
+        est = TableSpeedEstimator(rows)
+        table = np.zeros((len(KERNEL_CHOICES), max_ch + 1, max_ch + 1), np.float32)
+        for ki, k in enumerate(KERNEL_CHOICES):
+            for ch1 in range(max_ch + 1):
+                for ch0 in range(max_ch + 1):
+                    table[ki, ch1, ch0] = est(ch0, ch1, k)
+        return table
+    if method != "linear":
+        raise ValueError(f"unknown densify method {method!r}")
+
+    rows = np.asarray(rows, dtype=np.float32)
+    if rows.ndim != 2 or rows.shape[1] != 4:
+        raise ValueError("expected (N, 4) latency table")
     table = np.zeros((len(KERNEL_CHOICES), max_ch + 1, max_ch + 1), np.float32)
+    splits_axis = np.arange(max_ch + 1, dtype=np.float32)
     for ki, k in enumerate(KERNEL_CHOICES):
-        for ch1 in range(max_ch + 1):
-            for ch0 in range(max_ch + 1):
-                table[ki, ch1, ch0] = est(ch0, ch1, k)
+        rk = rows[rows[:, 2] == k]
+        if len(rk) == 0:
+            raise ValueError(f"no measured rows for kernel {k}")
+        ch_ins = np.unique(rk[:, 0])
+        # per measured ch_in: a dense latency line over ch_split (1-D interp,
+        # edge-clamped)
+        lines = {}
+        for c in ch_ins:
+            rc = rk[rk[:, 0] == c]
+            order = np.argsort(rc[:, 1], kind="stable")
+            s, v = rc[order, 1], rc[order, 3]
+            # duplicate measured splits (repeat runs): average them
+            su, inv = np.unique(s, return_inverse=True)
+            vu = np.zeros_like(su)
+            np.add.at(vu, inv, v)
+            vu /= np.bincount(inv).astype(vu.dtype)
+            lines[float(c)] = np.interp(splits_axis, su, vu)
+        # linear blend between the two measured ch_in lines bracketing ch0
+        cs = np.asarray(sorted(lines))
+        for ch0 in range(max_ch + 1):
+            j = int(np.searchsorted(cs, ch0))
+            if j == 0:
+                table[ki, :, ch0] = lines[float(cs[0])]
+            elif j >= len(cs):
+                table[ki, :, ch0] = lines[float(cs[-1])]
+            else:
+                lo, hi = float(cs[j - 1]), float(cs[j])
+                w = (ch0 - lo) / (hi - lo)
+                table[ki, :, ch0] = (1.0 - w) * lines[lo] + w * lines[hi]
     return table
+
+
+def densify_from_predictor(predictor, max_ch):
+    """Dense (3, max_ch+1, max_ch+1) latency table from a trained
+    SpeedPredictor MLP (nas/speed_model.py) — the packaged
+    ``*_predictor.msgpack`` artifacts' consumer: the MLP interpolates the
+    measured configs, so every (ch_mask, ch_split) the search can reach gets
+    a learned latency instead of a copy of its nearest measured neighbor.
+    Predictions are clamped at >= 0 (an unconstrained MLP can dip negative
+    far outside its training range, which would make SpeedLoss reward
+    impossible architectures).
+
+    predictor: bare params (3-feature default architecture) or the
+    (params, model) pair from ``load_predictor``."""
+    import jax as _jax
+
+    from mobilesuperresolution_tpu.nas.speed_model import SpeedPredictor
+
+    if isinstance(predictor, tuple):
+        predictor_params, model = predictor
+    else:
+        predictor_params, model = predictor, SpeedPredictor(num_feat=3)
+    if model.num_feat != 3:
+        raise ValueError(
+            f"predictor takes {model.num_feat} features; the search's block "
+            "descriptor is (ch_in, ch_split, kernel) — the reference's "
+            "4-feature S10/S21 predictors describe its earlier (IN, M1, M2) "
+            "block schema (export_onnx.py:28-35) and cannot drive this search"
+        )
+    ks = np.asarray(KERNEL_CHOICES, np.float32)
+    grid = np.stack(
+        np.meshgrid(
+            ks,
+            np.arange(max_ch + 1, dtype=np.float32),  # ch_split
+            np.arange(max_ch + 1, dtype=np.float32),  # ch_mask (= ch_in)
+            indexing="ij",
+        ),
+        axis=-1,
+    )  # (3, C+1, C+1, 3) ordered [k, split, mask]
+    feats = grid.reshape(-1, 3)[:, [2, 1, 0]]  # → (ch_in, ch_split, kernel)
+    pred = _jax.jit(lambda p, x: model.apply({"params": p}, x)[:, 0])(
+        predictor_params, jnp.asarray(feats)
+    )
+    table = np.asarray(pred, np.float32).reshape(
+        len(KERNEL_CHOICES), max_ch + 1, max_ch + 1
+    )
+    return np.maximum(table, 0.0)
 
 
 def get_ori_speed(num_blocks=4, num_residual_units=12):

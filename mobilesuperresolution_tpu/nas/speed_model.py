@@ -25,13 +25,21 @@ def _kaiming01(key, shape, dtype=jnp.float32):
 
 
 class SpeedPredictor(nn.Module):
-    """MLP block-descriptor → latency (ms)."""
+    """MLP block-descriptor → latency (ms).
+
+    widths: hidden-layer sizes. The default matches the reference's
+    ConvBlockModel (SpeedModel.py:15-20); its S10/S21 checkpoints use a wider
+    4-feature generation (128/256/512/256/128) — which the reference itself
+    can no longer load (its ``load_state_dict(..., strict=False)`` at
+    SpeedModel.py:56 silently drops EVERY tensor on the shape mismatch);
+    here the architecture is explicit so those artifacts work."""
 
     num_feat: int = 3  # (ch_in, ch_split, kernel)
+    widths: tuple = (32, 64, 128, 64, 32)
 
     @nn.compact
     def __call__(self, x):
-        for width in (32, 64, 128, 64, 32):
+        for width in self.widths:
             x = nn.relu(nn.Dense(width, kernel_init=_kaiming01)(x))
         return nn.Dense(1, kernel_init=_kaiming01)(x)
 
@@ -102,12 +110,39 @@ def save_predictor(params, path):
 
 
 def load_predictor(path):
+    """Load a serialized predictor → (params, model). The architecture
+    (num_feat, hidden widths) is inferred from the saved Dense kernel shapes,
+    so one loader serves both the 3-feature default and the reference's wider
+    4-feature S10/S21 generation."""
     from flax import serialization
 
-    model = SpeedPredictor(num_feat=3)
-    template = model.init(jax.random.key(0), jnp.zeros((1, 3)))["params"]
     with open(path, "rb") as f:
-        return serialization.from_bytes(template, f.read())
+        raw = serialization.msgpack_restore(f.read())
+    n_dense = len(raw)
+    kernels = [raw[f"Dense_{i}"]["kernel"] for i in range(n_dense)]
+    num_feat = int(kernels[0].shape[0])
+    widths = tuple(int(k.shape[1]) for k in kernels[:-1])
+    model = SpeedPredictor(num_feat=num_feat, widths=widths)
+    template = model.init(jax.random.key(0), jnp.zeros((1, num_feat)))["params"]
+    return serialization.from_state_dict(template, raw), model
+
+
+def convert_torch_speed_model(sd):
+    """Reference ConvBlockModel state dict (SpeedModel.py:9-60: Linear layers
+    fc1,fc2,fc3,fc6,fc7,fc8) → flax params for ``SpeedPredictor``. Returns
+    (params, model). torch Linear weight is (out, in); flax Dense kernel is
+    (in, out)."""
+    names = ("fc1", "fc2", "fc3", "fc6", "fc7", "fc8")
+    params = {}
+    for i, fc in enumerate(names):
+        w = np.asarray(sd[f"{fc}.weight"], np.float32)
+        params[f"Dense_{i}"] = {
+            "kernel": np.ascontiguousarray(w.T),
+            "bias": np.asarray(sd[f"{fc}.bias"], np.float32),
+        }
+    num_feat = params["Dense_0"]["kernel"].shape[0]
+    widths = tuple(params[f"Dense_{i}"]["kernel"].shape[1] for i in range(5))
+    return params, SpeedPredictor(num_feat=num_feat, widths=widths)
 
 
 def packaged_predictor_path(name=None):
@@ -125,10 +160,16 @@ def packaged_predictor_path(name=None):
 
 class MLPSpeedEstimator:
     """Predictor-backed estimator (the reference's estimateByMask path that
-    its TODO disabled — speed_estimator.py:70-73 — made real)."""
+    its TODO disabled — speed_estimator.py:70-73 — made real).
 
-    def __init__(self, params):
-        self.model = SpeedPredictor(num_feat=3)
+    Accepts bare params (default 3-feature architecture — the
+    ``train_speed_predictor`` output) or the (params, model) pair
+    ``load_predictor`` returns."""
+
+    def __init__(self, params, model=None):
+        if model is None and isinstance(params, tuple):
+            params, model = params
+        self.model = model if model is not None else SpeedPredictor(num_feat=3)
         self.params = params
         self._fwd = jax.jit(
             lambda p, x: self.model.apply({"params": p}, x)[:, 0]
