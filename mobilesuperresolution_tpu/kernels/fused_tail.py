@@ -19,8 +19,12 @@ on-device — depth-to-space inherently moves channel (lane) data into spatial
 ("unsupported shape cast", tried rank-5 transpose and contiguous rank-3/4
 merges). Production uses the XLA conv+depth_to_space path; this kernel is
 kept as the reference implementation for when Mosaic grows lane→sublane
-relayouts. The Pallas kernel that IS deployed is the fused ConvSep block
-(kernels/fused_convsep.py).
+relayouts. No Pallas kernel is deployed in the model paths: every candidate
+measured slower than XLA's own fusion on-chip (v5e) — fused ConvSep
+0.37-0.96x XLA across the supernet train shape (b16 48x48 c32) and the
+speed-table protocol shape (240x426, c24/c32) at k in {3,5,7} (see DESIGN.md
+"Negative results"), fused WDSR block 1.70 vs 1.75 ms, conv5x5 27.4 vs
+17.5 ms.
 """
 
 import functools
