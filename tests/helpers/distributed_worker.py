@@ -49,6 +49,10 @@ def main():
             process_id=args.process_id,
         )
 
+    if args.workload == "search":
+        _run_search(args)
+        return
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -59,10 +63,6 @@ def main():
         multistep_adam,
     )
     from mobilesuperresolution_tpu.train.steps import make_sisr_step
-
-    if args.workload == "search":
-        _run_search(args)
-        return
 
     model = BasicModel(num_blocks=1, num_residual_units=8, scale=2)
     tx = multistep_adam(1e-3, 10, 10)
@@ -77,8 +77,10 @@ def main():
         step = make_sisr_step(state)
         for _ in range(args.steps):
             # identical GLOBAL batch in every configuration; each process
-            # feeds only its slice (per-host loading, data/isr.py:146-151)
-            batch_size = 2 * 4  # 2 per device at the reference 4-device size
+            # feeds only its slice (per-host loading, data/isr.py:146-151).
+            # 2 per GLOBAL device, so any num_processes x devices_per_process
+            # split of the same global topology sees the same batch
+            batch_size = 2 * n_global
             hr = rng.random((batch_size, 16, 16, 3), dtype=np.float32)
             lr = np.ascontiguousarray(hr[:, ::2, ::2])
             if args.num_processes > 1:
@@ -153,7 +155,7 @@ def _run_search(args):
     targets = [8.0 - 0.5 * i for i in range(args.steps)]  # annealing schedule
     with mesh:
         for target in targets:
-            batch_size = 2 * 4  # 2 per device at the reference 4-device size
+            batch_size = 2 * len(jax.devices())  # 2 per GLOBAL device
             hr = rng.random((batch_size, 32, 32, 3), dtype=np.float32)
             lr = np.ascontiguousarray(hr[:, ::2, ::2])
             if args.num_processes > 1:

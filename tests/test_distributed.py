@@ -133,6 +133,9 @@ def test_two_process_search_step_matches_single_process(tmp_path):
         outs.append(out)
         assert p.returncode == 0, out
     results = [_parse_last_json(o) for o in outs]
+    # a misconfigured mesh (e.g. XLA_FLAGS not applied) would silently run on
+    # fewer devices while still passing parity — pin the topology
+    assert all(r["n_devices"] == 4 for r in results), results
     assert all(r["process_count"] == 2 for r in results), results
     np.testing.assert_array_equal(results[0]["losses"], results[1]["losses"])
 
@@ -146,6 +149,7 @@ def test_two_process_search_step_matches_single_process(tmp_path):
     out = single_path.read_text()
     assert single.returncode == 0, out
     ref = _parse_last_json(out)
+    assert ref["n_devices"] == 4 and ref["process_count"] == 1, ref
     np.testing.assert_allclose(results[0]["losses"], ref["losses"], rtol=1e-6)
     np.testing.assert_allclose(results[0]["speeds"], ref["speeds"], rtol=1e-6)
     assert results[0]["remain_idx"] == ref["remain_idx"]
