@@ -56,11 +56,17 @@ def multistep_adam(
     gamma=0.3,
     milestones=None,
     trainable_mask: Optional[Any] = None,
+    betas=(0.9, 0.999),
 ):
     """Adam with the reference's LR schedule; ``trainable_mask`` is a pytree of
-    bools (True = train) implementing the search phases' parameter freezing."""
+    bools (True = train) implementing the search phases' parameter freezing.
+
+    ``betas`` defaults to torch's Adam defaults — what the reference's
+    pretrain/search use (pretrain.py:137, search.py:173). The VSR trainer
+    overrides b2=0.99 and milestones=[E/2, 8E/10]
+    (train_video_superresolution.py:163-168) — see ``vsr_multistep_adam``."""
     sched = multistep_lr(base_lr, steps_per_epoch, epochs, gamma, milestones)
-    tx = optax.adam(learning_rate=sched)
+    tx = optax.adam(learning_rate=sched, b1=betas[0], b2=betas[1])
     if trainable_mask is not None:
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()},
@@ -69,6 +75,24 @@ def multistep_adam(
             ),
         )
     return tx
+
+
+def vsr_multistep_adam(
+    base_lr, steps_per_epoch, epochs, trainable_mask: Optional[Any] = None
+):
+    """The VSR trainer's exact optimizer: Adam betas (0.9, 0.99) and
+    MultiStepLR milestones [E/2, 8E/10] — both DIFFER from the pretrain/search
+    conventions (train_video_superresolution.py:163-168 vs pretrain.py:137-142).
+    Verified in lockstep vs the torch twin
+    (tests/test_training_parity.py::test_vsr_train_lockstep)."""
+    return multistep_adam(
+        base_lr,
+        steps_per_epoch,
+        epochs,
+        milestones=[epochs // 2, epochs * 8 // 10],
+        trainable_mask=trainable_mask,
+        betas=(0.9, 0.99),
+    )
 
 
 def create_train_state(model, rng, sample_input, tx, extra_args=(), variables=None):

@@ -219,6 +219,200 @@ class _TorchSupernetTwin:
 
 
 
+def _plain_from_flax(p, grad=True):
+    """Our PlainConv {Conv_0: {kernel (k,k,i,o), bias}} → torch (OIHW, b)."""
+    return (
+        _t(np.transpose(np.asarray(p["Conv_0"]["kernel"]), (3, 2, 0, 1)), grad),
+        _t(np.asarray(p["Conv_0"]["bias"]), grad),
+    )
+
+
+class _TorchBasicVSRTwin:
+    """Functional twin of the reference's mobile BasicVSR
+    (models/basicvsr_arch.py:10-105: mmedit SPyNet flows, two Python
+    recurrences with mmedit-default flow_warp, fusion 1x1 → ConvTranspose2d
+    (k=5, stride=scale) → bilinear resize → +bilinear base), built over torch
+    tensors converted from our flax init (models/basicvsr.py — the scan-
+    merged, block-diagonal redesign stores per-direction kernels, so the
+    mapping is direct). The reference's conv_last maps 2nf→nf which cannot
+    broadcast with the 3-channel base (basicvsr_arch.py:36,96-100); like our
+    model, the twin uses the working 2nf→3 convention of its sibling
+    mvvsr_arch.py:37.
+
+    SpyNet tensors are created with requires_grad=False: the reference's VSR
+    optimizer simply never includes spynet params
+    (train_video_superresolution.py:160-163), which is what our optax
+    set_to_zero mask reproduces."""
+
+    def __init__(self, flax_params, num_feat, num_block, scale=4):
+        self.nf, self.nb, self.scale = num_feat, num_block, scale
+        P = flax_params
+        self.spy = []
+        for level in range(6):
+            lp = P["spynet"][f"level_{level}"]
+            self.spy.append(
+                [
+                    (
+                        _t(
+                            np.transpose(
+                                np.asarray(lp[f"conv{j}_kernel"]), (3, 2, 0, 1)
+                            ),
+                            grad=False,
+                        ),
+                        _t(np.asarray(lp[f"conv{j}_bias"]), grad=False),
+                    )
+                    for j in range(5)
+                ]
+            )
+        T = P["propagation"]["trunks"]
+        self.trunks = {}
+        for d in ("backward", "forward"):
+            conv = lambda name: (
+                _t(np.transpose(np.asarray(T[f"{d}_{name}_kernel"]), (3, 2, 0, 1))),
+                _t(np.asarray(T[f"{d}_{name}_bias"])),
+            )
+            layers = [conv("conv0")]
+            for i in range(num_block):
+                layers.append(conv(f"block{i}_conv1"))
+                layers.append(conv(f"block{i}_conv2"))
+            self.trunks[d] = layers
+        self.fusion = _plain_from_flax(P["fusion"])
+        # flax SubpixelConvTranspose kernel (K,K,Cin,Cout) → torch
+        # ConvTranspose2d weight (Cin,Cout,K,K), spatially flipped (the exact
+        # inverse of train/torch_convert._convtranspose)
+        k = np.asarray(P["conv_last"]["kernel"])
+        self.conv_last = (
+            _t(np.ascontiguousarray(k.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])),
+            _t(np.asarray(P["conv_last"]["bias"])),
+        )
+
+    def tensors(self):
+        """Trainable (non-spynet) tensors — the reference's optimizer param
+        group (train_video_superresolution.py:160-163)."""
+        out = []
+        for d in ("backward", "forward"):
+            for w, b in self.trunks[d]:
+                out.extend([w, b])
+        out.extend(self.fusion)
+        out.extend(self.conv_last)
+        return out
+
+    @staticmethod
+    def _warp(feat, flow_nchw):
+        # mmedit flow_warp defaults: bilinear, zeros padding,
+        # align_corners=True (basicvsr_arch.py:74,85)
+        n, _, h, w = feat.shape
+        gy, gx = torch.meshgrid(
+            torch.arange(h).float(), torch.arange(w).float(), indexing="ij"
+        )
+        v = torch.stack((gx, gy), 2).unsqueeze(0) + flow_nchw.permute(0, 2, 3, 1)
+        vx = 2.0 * v[..., 0] / max(w - 1, 1) - 1.0
+        vy = 2.0 * v[..., 1] / max(h - 1, 1) - 1.0
+        return F.grid_sample(
+            feat,
+            torch.stack((vx, vy), 3),
+            mode="bilinear",
+            padding_mode="zeros",
+            align_corners=True,
+        )
+
+    def _spynet(self, ref, supp):
+        mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+        std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+        refs = [(ref - mean) / std]
+        supps = [(supp - mean) / std]
+        for _ in range(5):
+            refs.insert(0, F.avg_pool2d(refs[0], 2, 2, count_include_pad=False))
+            supps.insert(0, F.avg_pool2d(supps[0], 2, 2, count_include_pad=False))
+        n = ref.shape[0]
+        flow = torch.zeros(n, 2, refs[0].shape[2] // 2, refs[0].shape[3] // 2)
+        for level in range(6):
+            up = (
+                F.interpolate(
+                    flow, scale_factor=2, mode="bilinear", align_corners=True
+                )
+                * 2.0
+            )
+            if up.shape[2] != refs[level].shape[2]:
+                up = F.pad(up, [0, 0, 0, 1], mode="replicate")
+            if up.shape[3] != refs[level].shape[3]:
+                up = F.pad(up, [0, 1, 0, 0], mode="replicate")
+            warped = self._warp_border(supps[level], up)
+            x = torch.cat([refs[level], warped, up], 1)
+            for j in range(5):
+                x = F.conv2d(x, self.spy[level][j][0], self.spy[level][j][1], padding=3)
+                if j < 4:
+                    x = F.relu(x)
+            flow = x + up
+        return flow
+
+    @staticmethod
+    def _warp_border(feat, flow_nchw):
+        # SPyNet's internal warp uses BORDER padding (spynet_arch.py:63-66)
+        n, _, h, w = feat.shape
+        gy, gx = torch.meshgrid(
+            torch.arange(h).float(), torch.arange(w).float(), indexing="ij"
+        )
+        v = torch.stack((gx, gy), 2).unsqueeze(0) + flow_nchw.permute(0, 2, 3, 1)
+        vx = 2.0 * v[..., 0] / max(w - 1, 1) - 1.0
+        vy = 2.0 * v[..., 1] / max(h - 1, 1) - 1.0
+        return F.grid_sample(
+            feat,
+            torch.stack((vx, vy), 3),
+            mode="bilinear",
+            padding_mode="border",
+            align_corners=True,
+        )
+
+    def _trunk(self, x, d):
+        layers = self.trunks[d]
+        y = F.leaky_relu(F.conv2d(x, layers[0][0], layers[0][1], padding=1), 0.1)
+        for i in range(self.nb):
+            w1, b1 = layers[1 + 2 * i]
+            w2, b2 = layers[2 + 2 * i]
+            z = F.relu(F.conv2d(y, w1, b1, padding=1))
+            y = y + F.conv2d(z, w2, b2, padding=1)
+        return y
+
+    def forward(self, x, height, width):
+        """x: (B, T, C, H, W) in [0,1] → (B, T, C, height, width)."""
+        b, n, c, h, w = x.shape
+        x1 = x[:, :-1].reshape(-1, c, h, w)
+        x2 = x[:, 1:].reshape(-1, c, h, w)
+        flows_backward = self._spynet(x1, x2).view(b, n - 1, 2, h, w)
+        flows_forward = self._spynet(x2, x1).view(b, n - 1, 2, h, w)
+
+        out_l = []
+        feat_prop = x.new_zeros(b, self.nf, h, w)
+        for i in range(n - 1, -1, -1):
+            x_i = x[:, i]
+            if i < n - 1:
+                feat_prop = self._warp(feat_prop, flows_backward[:, i])
+            feat_prop = self._trunk(torch.cat([x_i, feat_prop], 1), "backward")
+            out_l.insert(0, feat_prop)
+
+        feat_prop = torch.zeros_like(feat_prop)
+        outs = []
+        for i in range(n):
+            x_i = x[:, i]
+            if i > 0:
+                feat_prop = self._warp(feat_prop, flows_forward[:, i - 1])
+            feat_prop = self._trunk(torch.cat([x_i, feat_prop], 1), "forward")
+            out = torch.cat([out_l[i], feat_prop], 1)
+            out = F.leaky_relu(
+                F.conv2d(out, self.fusion[0], self.fusion[1]), 0.1
+            )
+            out = F.conv_transpose2d(
+                out, self.conv_last[0], self.conv_last[1], stride=self.scale
+            )
+            out = F.interpolate(out, size=(height, width), mode="bilinear")
+            base = F.interpolate(
+                x_i, size=(height, width), mode="bilinear", align_corners=False
+            )
+            outs.append(out + base)
+        return torch.stack(outs, 1)
+
+
 def torch_wn_to_flax(p):
     """torch twin conv {v (OIHW), g, b} -> our WNConv {v (HWIO), g, b}."""
     return {

@@ -239,3 +239,86 @@ def test_nas_search_lockstep():
                 atol=2e-5,
                 err_msg=f"block{i}.{leaf}",
             )
+
+
+# ---------------------------------------------------------------------------
+# VSR train lockstep
+# ---------------------------------------------------------------------------
+
+
+def test_vsr_train_lockstep():
+    """15 lockstep steps (5 'epochs' x 3) of mobile-BasicVSR training,
+    crossing BOTH of the VSR trainer's MultiStepLR milestones (epochs 2 and
+    4): per-step Charbonnier losses and final trainable weights must agree
+    between our production VSR step (vsr_multistep_adam: betas (0.9, 0.99),
+    milestones [E/2, 8E/10], spynet frozen via optax mask — all from
+    train_video_superresolution.py:43-53,160-168) and the torch twin, and the
+    frozen SpyNet must be bitwise-untouched."""
+    from helpers.torch_twins import _TorchBasicVSRTwin
+
+    from mobilesuperresolution_tpu.cli.train_vsr import spynet_frozen_mask
+    from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
+    from mobilesuperresolution_tpu.train.state import vsr_multistep_adam
+    from mobilesuperresolution_tpu.train.steps import make_vsr_step
+
+    nf, nb, t, hw, scale = 8, 1, 3, 64, 4
+    steps_per_epoch, epochs, lr = 3, 5, 1e-3
+    oh = ow = hw * scale
+
+    model = BasicVSR(num_feat=nf, num_block=nb, scale=scale)
+    sample = jnp.zeros((1, t, hw, hw, 3), jnp.float32)
+    variables = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.key(3), sample, oh, ow
+    )
+    mask = spynet_frozen_mask(variables["params"])
+    tx = vsr_multistep_adam(lr, steps_per_epoch, epochs, trainable_mask=mask)
+    state = create_train_state(
+        model, jax.random.key(3), sample, tx, extra_args=(oh, ow),
+        variables=variables,
+    )
+    step = make_vsr_step(state, (oh, ow))
+    spy_init = jax.tree.map(np.asarray, state.params["spynet"])
+
+    twin = _TorchBasicVSRTwin(state.params, nf, nb, scale)
+    # the reference's exact VSR optimizer: Adam betas (0.9, 0.99) over the
+    # non-spynet param group only, MultiStepLR [E/2, 8E/10]
+    opt = torch.optim.Adam(twin.tensors(), lr=lr, betas=(0.9, 0.99))
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[epochs // 2, epochs * 8 // 10], gamma=0.3
+    )
+
+    rng = np.random.default_rng(5)
+    ours, theirs = [], []
+    for _ in range(epochs):
+        for _ in range(steps_per_epoch):
+            lr_clip = rng.random((1, t, hw, hw, 3), np.float32)
+            hr_clip = rng.random((1, t, oh, ow, 3), np.float32)
+
+            state, metrics = step(
+                state, (jnp.asarray(lr_clip), jnp.asarray(hr_clip))
+            )
+            ours.append(float(metrics["loss"]))
+
+            opt.zero_grad()
+            sr = twin.forward(
+                torch.from_numpy(lr_clip.transpose(0, 1, 4, 2, 3)), oh, ow
+            )
+            diff = sr - torch.from_numpy(hr_clip.transpose(0, 1, 4, 2, 3))
+            loss = torch.sqrt(diff * diff + 1e-12).mean()
+            loss.backward()
+            opt.step()
+            theirs.append(float(loss.detach()))
+        sched.step()
+
+    np.testing.assert_allclose(ours, theirs, rtol=5e-4, atol=1e-6)
+    # final trainable weights agree; the SpyNet never moved
+    final = _TorchBasicVSRTwin(state.params, nf, nb, scale)
+    for got, want in zip(final.tensors(), twin.tensors()):
+        np.testing.assert_allclose(
+            got.detach().numpy(), want.detach().numpy(), rtol=1e-3, atol=5e-5
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        state.params["spynet"],
+        spy_init,
+    )
