@@ -32,7 +32,7 @@ from mobilesuperresolution_tpu.train.checkpoint import (
     save_params_npz,
 )
 from mobilesuperresolution_tpu.train.evaluate import evaluate
-from mobilesuperresolution_tpu.train.state import create_train_state, multistep_adam
+from mobilesuperresolution_tpu.train.state import create_train_state, vsr_multistep_adam
 from mobilesuperresolution_tpu.train.steps import make_vsr_step
 
 
@@ -68,14 +68,16 @@ def add_vsr_args(parser):
                         help="Shard groups of chunk windows over the mesh "
                         "'data' axis (device-parallel long-clip eval).")
     parser.add_argument("--spatial_shards", type=int, default=1,
-                        help="Eval-only (model_type=basic): shard frame "
-                        "HEIGHT over this many devices — recurrent "
-                        "propagation exchanges halo rows per step over ICI "
-                        "(parallel/vsr_spatial.py); SpyNet/reconstruction "
-                        "run frame-parallel. Matches full-frame output "
-                        "whenever flow row displacement fits the "
-                        "--spatial_max_disp budget. H must divide evenly. "
-                        "Mutually exclusive with --chunk_frames.")
+                        help="model_type=basic: shard frame HEIGHT over this "
+                        "many devices — recurrent propagation exchanges halo "
+                        "rows per step over ICI (parallel/vsr_spatial.py); "
+                        "SpyNet/reconstruction run frame-parallel. Works for "
+                        "eval AND training (full frames across chips; "
+                        "Charbonnier gradients match the unsharded step). "
+                        "Matches full-frame output whenever flow row "
+                        "displacement fits the --spatial_max_disp budget. "
+                        "H must divide evenly. Mutually exclusive with "
+                        "--chunk_frames.")
     parser.add_argument("--spatial_max_disp", type=int, default=8,
                         help="Halo row budget for --spatial_shards: flow dy "
                         "is clipped to ±this many rows (adjacent-frame "
@@ -198,7 +200,21 @@ def main(argv=None):
             "--quantize is inference-only (use test_vsr / serve); training "
             "runs the exact float path like the reference"
         )
-    mesh = make_mesh(spatial=1)
+    sp_train = (not params.eval_only) and getattr(params, "spatial_shards", 1) > 1
+    if sp_train:
+        if params.model_type != "basic":
+            raise SystemExit(
+                "--spatial_shards training supports model_type=basic (the "
+                "halo-sharded recurrent forward, parallel/vsr_spatial.py)"
+            )
+        if getattr(params, "chunk_frames", 0):
+            raise SystemExit(
+                "--spatial_shards and --chunk_frames are mutually exclusive "
+                "(height sharding already bounds per-device memory)"
+            )
+        mesh = make_mesh(spatial=params.spatial_shards)
+    else:
+        mesh = make_mesh(spatial=1)
     dtype = jnp.bfloat16 if params.bf16 else jnp.float32
     model = get_vsr_model(
         params.model_type,
@@ -223,7 +239,10 @@ def main(argv=None):
     sample = jnp.zeros((1, t, ps, ps, c_in))
     init_vars = jax.jit(model.init, static_argnums=(2, 3))(jax.random.key(params.seed), sample, *out_hw)
     mask = spynet_frozen_mask(init_vars["params"])
-    tx = multistep_adam(
+    # the VSR trainer's OWN Adam/LR conventions: betas (0.9, 0.99) and
+    # milestones [E/2, 8E/10] — NOT the pretrain defaults
+    # (train_video_superresolution.py:163-168)
+    tx = vsr_multistep_adam(
         params.learning_rate, steps_per_epoch, params.epochs, trainable_mask=mask
     )
     # reuse init_vars — the recurrent init costs minutes over a remote-
@@ -286,7 +305,20 @@ def main(argv=None):
         run_vsr_evaluation(params, state, model, eval_mods, logging, start_epoch)
         return
 
-    step = make_vsr_step(state, out_hw)
+    if sp_train:
+        from mobilesuperresolution_tpu.parallel.vsr_spatial import (
+            make_spatial_vsr_step,
+        )
+
+        # full-frame training across chips: the recurrent forward (and its
+        # gradients — the halo ppermute is differentiable) shards on frame
+        # height; loss/grads match the unsharded step
+        # (tests/test_parallel_vsr.py::TestSpatialVSRTraining)
+        step = make_spatial_vsr_step(
+            state, model, mesh, out_hw, max_disp=params.spatial_max_disp
+        )
+    else:
+        step = make_vsr_step(state, out_hw)
     from mobilesuperresolution_tpu.train.preemption import (
         PreemptionGuard,
         save_midepoch,

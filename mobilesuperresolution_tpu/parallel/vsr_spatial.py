@@ -82,6 +82,37 @@ def _row_mask(hloc, margin, h_total, axis_name, dtype=jnp.float32):
     return ((rows >= 0) & (rows < h_total)).astype(dtype)[:, None, None]
 
 
+def make_spatial_vsr_step(state, model, mesh, out_hw, max_disp=8, axis="spatial"):
+    """step(state, (lr_clip, hr_clip)) -> (state, metrics): the VSR train step
+    (train/steps.py::make_vsr_step — Charbonnier, same optimizer) with the
+    forward spatially sharded via ``spatial_basicvsr_forward``.
+
+    The whole sharded forward — halo exchanges (``ppermute``), flow-dy clip,
+    row masks — is differentiable, and every output pixel's sharded forward
+    equals its full-frame forward whenever flow row displacements stay within
+    ``max_disp``, so the Charbonnier loss and the parameter gradients match
+    the unsharded step to float tolerance
+    (tests/test_parallel_vsr.py::test_spatial_vsr_training_matches_plain_step).
+    The flow-dy clip is the one non-smooth addition: at displacements beyond
+    the budget its gradient is zero, the correct subgradient of the
+    degraded-gracefully forward.
+
+    This is the training analog of the reference's only big-frame mechanism —
+    lossy 64x64 eval tiling (test_video_superresolution_by_patch.py:165-226),
+    which it never had for training; full frames train across chips here with
+    activation memory per device ~ H/n."""
+    from mobilesuperresolution_tpu.train.steps import make_vsr_step
+
+    oh, ow = out_hw
+
+    def forward(p, lr_clip):
+        return spatial_basicvsr_forward(
+            model, p, lr_clip, oh, ow, mesh, axis=axis, max_disp=max_disp
+        )
+
+    return make_vsr_step(state, out_hw, forward=forward)
+
+
 def spatial_basicvsr_forward(
     model,
     params,

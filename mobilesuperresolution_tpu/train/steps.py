@@ -122,9 +122,14 @@ def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1, spee
     return step
 
 
-def make_vsr_step(state, out_hw):
+def make_vsr_step(state, out_hw, forward=None):
     """VSR train step: Charbonnier L1; model signature (lr, H, W)
-    (train_video_superresolution.py:76-97)."""
+    (train_video_superresolution.py:76-97).
+
+    forward: optional ``(params, lr_clip) -> sr`` override of the plain
+    ``apply_fn({'params': p}, lr_clip, oh, ow)`` forward — used by
+    parallel/vsr_spatial.make_spatial_vsr_step to shard the recurrent
+    forward spatially without duplicating the step."""
     oh, ow = out_hw
 
     @functools.partial(
@@ -135,7 +140,10 @@ def make_vsr_step(state, out_hw):
         lr_clip, hr_clip = batch
 
         def loss_fn(p):
-            sr = apply_fn({"params": p}, lr_clip, oh, ow)
+            if forward is not None:
+                sr = forward(p, lr_clip)
+            else:
+                sr = apply_fn({"params": p}, lr_clip, oh, ow)
             return charbonnier_loss(sr, hr_clip)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
