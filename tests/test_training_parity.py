@@ -135,7 +135,7 @@ def test_sisr_pretrain_lockstep():
             loss = (sr - torch.from_numpy(hr_img.transpose(0, 3, 1, 2))).abs().mean()
             loss.backward()
             opt.step()
-            theirs.append(float(loss))
+            theirs.append(float(loss.detach()))
         sched.step()  # per-epoch, as in pretrain.py:268
 
     np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-6)
