@@ -212,7 +212,30 @@ def main(argv=None):
                 "--spatial_shards and --chunk_frames are mutually exclusive "
                 "(height sharding already bounds per-device memory)"
             )
-        mesh = make_mesh(spatial=params.spatial_shards)
+        import math
+
+        n_dev = len(jax.devices())
+        S = params.spatial_shards
+        if n_dev % S:
+            raise SystemExit(
+                f"--spatial_shards {S} does not divide the {n_dev} available "
+                "devices"
+            )
+        # compose with data parallelism: leftover devices form a 'data' axis,
+        # but only as many as divide the per-step batch — shard_batch splits
+        # the batch over 'data', and a non-dividing axis would crash the
+        # device_put (e.g. full-frame --train_batch_size 1 on 8 devices with
+        # --spatial_shards 2 must NOT build a data=4 mesh)
+        d = math.gcd(n_dev // S, max(params.train_batch_size, 1))
+        if d * S < n_dev:
+            mesh = make_mesh(data=d, spatial=S, devices=jax.devices()[: d * S])
+            logging.info(
+                f"spatial training uses {d * S}/{n_dev} devices "
+                f"(data={d}, spatial={S}): --train_batch_size "
+                f"{params.train_batch_size} limits the data axis"
+            )
+        else:
+            mesh = make_mesh(data=d, spatial=S)
     else:
         mesh = make_mesh(spatial=1)
     dtype = jnp.bfloat16 if params.bf16 else jnp.float32
@@ -313,7 +336,8 @@ def main(argv=None):
         # full-frame training across chips: the recurrent forward (and its
         # gradients — the halo ppermute is differentiable) shards on frame
         # height; loss/grads match the unsharded step
-        # (tests/test_parallel_vsr.py::TestSpatialVSRTraining)
+        # (tests/test_parallel_vsr_train.py::TestSpatialVSRTraining); leftover
+        # devices carry a data axis when it divides --train_batch_size
         step = make_spatial_vsr_step(
             state, model, mesh, out_hw, max_disp=params.spatial_max_disp
         )

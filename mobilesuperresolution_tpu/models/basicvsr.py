@@ -156,6 +156,55 @@ def _scan_propagation(num_feat, num_block, remat=False, unroll=5, quantized=Fals
       name="propagation")
 
 
+def compute_flows(spynet_apply, x, flow_downscale=1, pair_hint=None):
+    """Flow staging shared by ``BasicVSRBase._flows`` and the spatially-
+    sharded forward (parallel/vsr_spatial.py) — ONE source of truth for the
+    pair construction and the fb/ff split convention.
+
+    x: (B, T, H, W, C) → (flows_forward, flows_backward), each
+    (T-1, B, H, W, 2), both directions in one ``spynet_apply(ref, supp)``
+    batch. ``pair_hint`` optionally maps (ref, supp) → (ref, supp) before the
+    SpyNet call (the sharded path inserts a device placement hint there)."""
+    b, t, h, w, c = x.shape
+    fh, fw = flow_downscale_hw(h, w, flow_downscale)
+    # resize the T frames once (not each of the 2(T-1) pair slots)
+    xf = downscale_frames(x, fh, fw)
+    x1 = xf[:, :-1].reshape(b * (t - 1), fh, fw, c)
+    x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
+    ref = jnp.concatenate([x1, x2], axis=0)
+    supp = jnp.concatenate([x2, x1], axis=0)
+    if pair_hint is not None:
+        ref, supp = pair_hint(ref, supp)
+    flows = upsample_flow(spynet_apply(ref, supp), h, w)
+    fb = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
+    ff = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
+    # time-major for scan
+    return jnp.moveaxis(ff, 1, 0), jnp.moveaxis(fb, 1, 0)
+
+
+def stack_directions(x, flows_forward, flows_backward):
+    """Direction-stacked scan inputs shared by ``BasicVSRBase._propagate``
+    and the spatially-sharded forward: the backward leg runs over reversed
+    time next to the forward leg on the batch axis.
+
+    x: (B, T, H, W, C) → frames (T, 2B, H, W, C) = [reversed | forward] and
+    flows (T, 2B, H, W, 2) with a dummy zero flow prepended for the first
+    step (it warps the all-zeros carry, a no-op) — built explicitly so T=1
+    clips (empty flow sequence) scan."""
+    b = x.shape[0]
+    xt = jnp.moveaxis(x, 1, 0)  # (T, B, H, W, C)
+    dummy = jnp.zeros((1, b) + xt.shape[2:4] + (2,), x.dtype)
+    frames = jnp.concatenate([xt[::-1], xt], axis=1)
+    flows = jnp.concatenate(
+        [
+            jnp.concatenate([dummy, flows_backward[::-1]], axis=0),
+            jnp.concatenate([dummy, flows_forward], axis=0),
+        ],
+        axis=1,
+    )
+    return frames, flows
+
+
 class BasicVSRBase(nn.Module):
     """Shared propagation machinery. Subclasses define the reconstruction."""
 
@@ -179,21 +228,8 @@ class BasicVSRBase(nn.Module):
     def _flows(self, x):
         """x: (B, T, H, W, C) → (flows_forward, flows_backward), each
         (T-1, B, H, W, 2), both directions in one SpyNet batch."""
-        b, t, h, w, c = x.shape
-        fh, fw = flow_downscale_hw(h, w, self.flow_downscale)
-        # resize the T frames once (not each of the 2(T-1) pair slots)
-        xf = downscale_frames(x, fh, fw)
-        x1 = xf[:, :-1].reshape(b * (t - 1), fh, fw, c)
-        x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
-        ref = jnp.concatenate([x1, x2], axis=0)
-        supp = jnp.concatenate([x2, x1], axis=0)
-        flows = upsample_flow(
-            SpyNet(name="spynet", quantized=self.quantized)(ref, supp), h, w
-        )
-        fb = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
-        ff = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
-        # time-major for scan
-        return jnp.moveaxis(ff, 1, 0), jnp.moveaxis(fb, 1, 0)
+        spynet = SpyNet(name="spynet", quantized=self.quantized)
+        return compute_flows(spynet, x, self.flow_downscale)
 
     def _propagate(self, x, flows_forward, flows_backward):
         """Bidirectional propagation as ONE scan: the backward leg runs over
@@ -202,19 +238,8 @@ class BasicVSRBase(nn.Module):
         j>=1 of the backward leg processes frame i=T-1-j with
         flows_backward[i] (basicvsr_arch.py:70-74)."""
         b, t, h, w, _ = x.shape
-        xt = jnp.moveaxis(x, 1, 0)  # (T, B, H, W, C)
         init = jnp.zeros((2 * b, h, w, self.num_feat), x.dtype)
-        # dummy zero flow for the first step (it warps the all-zeros carry, a
-        # no-op) — built explicitly so T=1 clips (empty flow sequence) scan.
-        dummy = jnp.zeros((1, b, h, w, 2), x.dtype)
-        frames = jnp.concatenate([xt[::-1], xt], axis=1)  # (T, 2B, H, W, C)
-        flows = jnp.concatenate(
-            [
-                jnp.concatenate([dummy, flows_backward[::-1]], axis=0),
-                jnp.concatenate([dummy, flows_forward], axis=0),
-            ],
-            axis=1,
-        )
+        frames, flows = stack_directions(x, flows_forward, flows_backward)
         _, out = _scan_propagation(
             self.num_feat, self.num_block, self.remat, quantized=self.quantized
         )(init, (frames, flows))

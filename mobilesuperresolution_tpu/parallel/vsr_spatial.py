@@ -39,14 +39,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from mobilesuperresolution_tpu.models.basicvsr import (
     BasicVSR,
     _DualTrunk,
+    compute_flows,
     lrelu,
+    stack_directions,
 )
-from mobilesuperresolution_tpu.models.spynet import (
-    SpyNet,
-    downscale_frames,
-    flow_downscale_hw,
-    upsample_flow,
-)
+from mobilesuperresolution_tpu.models.spynet import SpyNet
 from mobilesuperresolution_tpu.ops.layers import PlainConv, SubpixelConvTranspose
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 from mobilesuperresolution_tpu.ops.warp import flow_warp
@@ -92,7 +89,7 @@ def make_spatial_vsr_step(state, model, mesh, out_hw, max_disp=8, axis="spatial"
     equals its full-frame forward whenever flow row displacements stay within
     ``max_disp``, so the Charbonnier loss and the parameter gradients match
     the unsharded step to float tolerance
-    (tests/test_parallel_vsr.py::test_spatial_vsr_training_matches_plain_step).
+    (tests/test_parallel_vsr_train.py::test_spatial_vsr_training_matches_plain_step).
     The flow-dy clip is the one non-smooth addition: at displacements beyond
     the budget its gradient is zero, the correct subgradient of the
     degraded-gracefully forward.
@@ -113,6 +110,21 @@ def make_spatial_vsr_step(state, model, mesh, out_hw, max_disp=8, axis="spatial"
     return make_vsr_step(state, out_hw, forward=forward)
 
 
+def _fp_put(arr, mesh, axis):
+    """Frame-parallel placement hint: shard leading rows over EVERY mesh
+    device when divisible (data × spatial both carry frame work), else over
+    the ``axis`` shards alone, else leave placement to XLA's propagation."""
+    rest = [None] * (arr.ndim - 1)
+    total = mesh.devices.size
+    if total > 1 and arr.shape[0] % total == 0:
+        return jax.device_put(
+            arr, NamedSharding(mesh, P(tuple(mesh.axis_names), *rest))
+        )
+    if arr.shape[0] % mesh.shape[axis] == 0:
+        return jax.device_put(arr, NamedSharding(mesh, P(axis, *rest)))
+    return arr
+
+
 def spatial_basicvsr_forward(
     model,
     params,
@@ -128,7 +140,13 @@ def spatial_basicvsr_forward(
     ``axis`` size. Returns (B, T, height, width, C) matching
     ``model.apply({'params': params}, x, height, width)`` exactly whenever
     all flow row displacements are within ``max_disp`` (see module doc).
-    """
+
+    Composes with data parallelism: if the mesh also has a ``data`` axis that
+    divides B, the batch shards over it (each data row propagates its own
+    clips; the spatial halo exchange runs within each data row's spatial
+    group), so a (data=D, spatial=S) mesh trains D clips × S height shards
+    per step. A non-dividing data axis falls back to replicated compute over
+    ``data`` (correct, no speedup)."""
     if not isinstance(model, BasicVSR):
         raise TypeError(
             "spatial_basicvsr_forward supports the mobile BasicVSR "
@@ -147,26 +165,19 @@ def spatial_basicvsr_forward(
             f"shard height {hloc} must be >= trunk radius + max_disp = {R}"
         )
     dt = model.compute_dtype
+    in_dtype = x.dtype
     x = x.astype(dt)
 
     # --- 1. flows: frame-parallel SpyNet (both directions, one batch) ------
-    fh, fw = flow_downscale_hw(h, w, model.flow_downscale)
-    xf = downscale_frames(x, fh, fw)
-    x1 = xf[:, :-1].reshape(b * (t - 1), fh, fw, c)
-    x2 = xf[:, 1:].reshape(b * (t - 1), fh, fw, c)
-    ref = jnp.concatenate([x1, x2], axis=0)
-    supp = jnp.concatenate([x2, x1], axis=0)
-    if ref.shape[0] % n == 0:
-        sh = NamedSharding(mesh, P(axis, None, None, None))
-        ref, supp = jax.device_put(ref, sh), jax.device_put(supp, sh)
-    flows = upsample_flow(
-        SpyNet(quantized=model.quantized).apply({"params": params["spynet"]}, ref, supp),
-        h,
-        w,
+    # Staging shared with the plain forward (models/basicvsr.py::
+    # compute_flows); the hint shards the 2B(T-1) pair batch over the mesh.
+    spynet = SpyNet(quantized=model.quantized)
+    ff, fb = compute_flows(
+        lambda r, s: spynet.apply({"params": params["spynet"]}, r, s),
+        x,
+        model.flow_downscale,
+        pair_hint=lambda r, s: (_fp_put(r, mesh, axis), _fp_put(s, mesh, axis)),
     )
-    fb = flows[: b * (t - 1)].reshape(b, t - 1, h, w, 2)
-    ff = flows[b * (t - 1) :].reshape(b, t - 1, h, w, 2)
-    ff, fb = jnp.moveaxis(ff, 1, 0), jnp.moveaxis(fb, 1, 0)
 
     # row-displacement budget: samples must stay inside the halo window
     clip = jnp.asarray(max_disp, ff.dtype)
@@ -174,29 +185,30 @@ def spatial_basicvsr_forward(
     fb = fb.at[..., 1].set(jnp.clip(fb[..., 1], -clip, clip))
 
     # --- 2. propagation: direction-stacked scan with per-step halos --------
-    xt = jnp.moveaxis(x, 1, 0)  # (T, B, H, W, C)
-    dummy = jnp.zeros((1, b, h, w, 2), dt)
-    frames = jnp.concatenate([xt[::-1], xt], axis=1)  # (T, 2B, H, W, C)
-    flows_seq = jnp.concatenate(
-        [
-            jnp.concatenate([dummy, fb[::-1]], axis=0),
-            jnp.concatenate([dummy, ff], axis=0),
-        ],
-        axis=1,
-    )
+    frames, flows_seq = stack_directions(x, ff, fb)  # (T, 2B, H, W, ·)
+    # split the direction axis out so batch sharding over 'data' keeps each
+    # local block's [backward | forward] halves aligned (the trunk reads the
+    # first half as the backward leg)
+    frames = frames.reshape(t, 2, b, h, w, c)
+    flows_seq = flows_seq.reshape(t, 2, b, h, w, 2)
+    n_data = dict(mesh.shape).get("data", 1)
+    batch_ax = "data" if (n_data > 1 and b % n_data == 0) else None
 
     trunks_params = params["propagation"]["trunks"]
     trunk = _DualTrunk(nf, nb, quantized=model.quantized)
 
     def _prop(frames_l, flows_l, tp):
-        # local shards: (T, 2B, hloc, W, ·)
+        # local shards: (T, 2, Bloc, hloc, W, ·) → direction-stacked batch
+        bloc = frames_l.shape[2]
+        frames_l = frames_l.reshape(t, 2 * bloc, hloc, w, c)
+        flows_l = flows_l.reshape(t, 2 * bloc, hloc, w, 2)
         mask_rt = _row_mask(hloc, rt, h, axis, dt)
         frames_h = _halo_exchange(frames_l, rt, axis)  # edge halos: zeros
         flows_h = _halo_exchange(flows_l, rt, axis)
 
         def step(carry, xs):
-            x_w, flow_w = xs  # (2B, hloc+2rt, W, ·)
-            ch = _halo_exchange(carry, R, axis)  # (2B, hloc+2R, W, nf)
+            x_w, flow_w = xs  # (2Bloc, hloc+2rt, W, ·)
+            ch = _halo_exchange(carry, R, axis)  # (2Bloc, hloc+2R, W, nf)
             # warp the full R-window; only the central rt-margin rows are
             # consumed (flow rows padded with zeros for the discard margin)
             fp = jnp.pad(flow_w, ((0, 0), (R - rt, R - rt), (0, 0), (0, 0)))
@@ -211,11 +223,11 @@ def spatial_basicvsr_forward(
             new_carry = feat[:, rt : rt + hloc]
             return new_carry, new_carry
 
-        init = jnp.zeros((2 * b, hloc, w, nf), dt)
+        init = jnp.zeros((2 * bloc, hloc, w, nf), dt)
         _, out = jax.lax.scan(step, init, (frames_h, flows_h))
-        return out  # (T, 2B, hloc, W, nf)
+        return out.reshape(t, 2, bloc, hloc, w, nf)
 
-    spec = P(None, None, axis, None, None)
+    spec = P(None, None, batch_ax, axis, None, None)
     # check_vma=False: the scan's zero init carry is axis-invariant while the
     # halo-exchanged carry output varies over 'spatial' — intended here
     out = jax.shard_map(
@@ -224,17 +236,16 @@ def spatial_basicvsr_forward(
         in_specs=(spec, spec, P()),
         out_specs=spec,
         check_vma=False,
-    )(frames, flows_seq, trunks_params)
+    )(frames, flows_seq, trunks_params)  # (T, 2, B, H, W, nf)
 
-    out_b = out[:, :b][::-1]
-    out_f = out[:, b:]
+    out_b = out[:, 0][::-1]
+    out_f = out[:, 1]
     feats = jnp.concatenate(
         [jnp.moveaxis(out_b, 0, 1), jnp.moveaxis(out_f, 0, 1)], axis=-1
     ).reshape(b * t, h, w, 2 * nf)
 
     # --- 3. reconstruction: frame-parallel over B*T -------------------------
-    if (b * t) % n == 0:
-        feats = jax.device_put(feats, NamedSharding(mesh, P(axis, None, None, None)))
+    feats = _fp_put(feats, mesh, axis)
     out = lrelu(
         PlainConv(2 * nf, 1, use_bias=True).apply({"params": params["fusion"]}, feats)
     )
@@ -245,4 +256,7 @@ def spatial_basicvsr_forward(
     base = resize_bilinear(
         x.reshape(b * t, h, w, c), (height, width), align_corners=False
     )
-    return (out + base).reshape(b, t, height, width, c)
+    # cast back to the caller's dtype exactly like BasicVSR.__call__ — the
+    # 'matches the plain forward' contract includes the output dtype under
+    # compute_dtype=bfloat16
+    return (out + base).reshape(b, t, height, width, c).astype(in_dtype)

@@ -35,9 +35,32 @@ def rng():
 
 
 @pytest.fixture(scope="session")
+def spatial_vsr_model_and_params():
+    """Tiny BasicVSR + synthetic clip + init shared by the spatial-VSR
+    forward (test_parallel_vsr.py) and training (test_parallel_vsr_train.py)
+    suites — ONE configuration by construction. Small trunk (rt = 3) so 8
+    shards of a 96-row frame satisfy hloc=12 >= rt + max_disp with
+    max_disp=8: 12 >= 11."""
+    import jax.numpy as jnp
+
+    from mobilesuperresolution_tpu.data.synthetic import synthetic_video
+    from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
+
+    model = BasicVSR(num_feat=8, num_block=1, scale=4)
+    clip = synthetic_video(11, t=3, hw=(96, 64), step=2).astype(np.float32) / 255.0
+    x = jnp.asarray(clip[None])
+    params = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.key(0), x, 4 * 96, 4 * 64
+    )["params"]
+    return model, params, x
+
+
+@pytest.fixture(scope="session")
 def eight_devices():
     devs = jax.devices()
-    if os.environ.get("MSR_TEST_TPU") and len(devs) != 8:
+    if os.environ.get("MSR_TEST_TPU") and jax.default_backend() != "cpu":
+        # backend check, not a device count: an 8-chip slice would otherwise
+        # run these float32-CPU-tolerance tests on TPU (default bf16 matmuls)
         pytest.skip("multi-device virtual-CPU test (running in MSR_TEST_TPU mode)")
     assert len(devs) == 8, f"expected 8 virtual CPU devices, got {devs}"
     return devs

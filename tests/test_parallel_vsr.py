@@ -9,34 +9,20 @@ import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
 
-from mobilesuperresolution_tpu.models.basicvsr import BasicVSR, BasicVSROrigin
+from helpers.meshes import spatial_mesh as _mesh
+from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
 from mobilesuperresolution_tpu.parallel.vsr_spatial import (
     spatial_basicvsr_forward,
     trunk_radius,
 )
 
 
-def _mesh(devs, n_spatial):
-    return Mesh(
-        np.asarray(devs[:n_spatial]).reshape(n_spatial), axis_names=("spatial",)
-    )
-
-
-@pytest.fixture(scope="module")
-def model_and_params():
-    from mobilesuperresolution_tpu.data.synthetic import synthetic_video
-
-    # small trunk (rt = 3) so 8 shards of a 96-row frame satisfy
-    # hloc=12 >= rt + max_disp with max_disp=8: 12 >= 11
-    model = BasicVSR(num_feat=8, num_block=1, scale=4)
-    clip = synthetic_video(11, t=3, hw=(96, 64), step=2).astype(np.float32) / 255.0
-    x = jnp.asarray(clip[None])
-    params = jax.jit(model.init, static_argnums=(2, 3))(
-        jax.random.key(0), x, 4 * 96, 4 * 64
-    )["params"]
-    return model, params, x
+@pytest.fixture
+def model_and_params(spatial_vsr_model_and_params):
+    # shared session fixture (conftest.py) — the training suite
+    # (test_parallel_vsr_train.py) uses the SAME configuration
+    return spatial_vsr_model_and_params
 
 
 class TestSpatialVSR:
@@ -85,6 +71,31 @@ class TestSpatialVSR:
         )
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
+    def test_hybrid_data_spatial_forward_matches(
+        self, eight_devices, model_and_params
+    ):
+        """(data=2, spatial=4) mesh with a 2-clip batch: clips shard over
+        'data' (each local block keeps its [backward | forward] direction
+        halves aligned) while frame height shards over 'spatial' — must
+        match the plain forward. Distinct per-clip content makes any
+        direction/batch misalignment a gross error, not a tolerance miss."""
+        from jax.sharding import Mesh
+
+        model, params, x = model_and_params
+        h, w = x.shape[2], x.shape[3]
+        x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)  # B=2, distinct
+        want = np.asarray(model.apply({"params": params}, x2, 4 * h, 4 * w))
+        mesh = Mesh(
+            np.asarray(eight_devices).reshape(2, 4),
+            axis_names=("data", "spatial"),
+        )
+        got = np.asarray(
+            spatial_basicvsr_forward(
+                model, params, x2, 4 * h, 4 * w, mesh, max_disp=8
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
     def test_rejects_undersized_shards(self, eight_devices, model_and_params):
         model, params, x = model_and_params
         h, w = x.shape[2], x.shape[3]
@@ -112,6 +123,23 @@ class TestSpatialVSR:
     def test_trunk_radius(self):
         assert trunk_radius(1) == 3
         assert trunk_radius(8) == 17
+
+    def test_bf16_output_dtype_matches_plain(self, eight_devices):
+        """Under compute_dtype=bfloat16 the sharded forward must cast back
+        to the input dtype exactly like BasicVSR.__call__ — the 'matches the
+        plain forward' contract includes the output dtype."""
+        from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
+
+        model = BasicVSR(
+            num_feat=4, num_block=1, scale=2, compute_dtype=jnp.bfloat16
+        )
+        x = jnp.zeros((1, 2, 16, 16, 3), jnp.float32)
+        params = jax.jit(model.init, static_argnums=(2, 3))(
+            jax.random.key(0), x, 32, 32
+        )["params"]
+        mesh = _mesh(eight_devices, 2)
+        got = spatial_basicvsr_forward(model, params, x, 32, 32, mesh, max_disp=4)
+        assert got.dtype == x.dtype, got.dtype
 
     def test_jitted_wrapper_exact(self, eight_devices, model_and_params):
         """The CLI wraps spatial_basicvsr_forward in jax.jit (static oh/ow,

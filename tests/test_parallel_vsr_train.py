@@ -2,38 +2,25 @@
 make_spatial_vsr_step): full frames train across chips — the halo exchange
 (ppermute) is differentiable, so the Charbonnier loss and parameter updates
 must match the unsharded VSR step. Split from test_parallel_vsr.py (forward
-equivalence) because the backward shard_map compiles are the slowest in the
-suite on the 8-virtual-device CPU mesh."""
+equivalence) and test_parallel_vsr_train_cli.py (CLI wiring) because the
+backward shard_map compiles are the slowest in the suite on the
+8-virtual-device CPU mesh."""
 
 import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh
 
+from helpers.meshes import spatial_mesh as _mesh
 from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
 
 
-def _mesh(devs, n_spatial):
-    return Mesh(
-        np.asarray(devs[:n_spatial]).reshape(n_spatial), axis_names=("spatial",)
-    )
-
-
-@pytest.fixture(scope="module")
-def model_and_params():
-    from mobilesuperresolution_tpu.data.synthetic import synthetic_video
-
-    # small trunk (rt = 3) so 8 shards of a 96-row frame satisfy
-    # hloc=12 >= rt + max_disp with max_disp=8: 12 >= 11
-    model = BasicVSR(num_feat=8, num_block=1, scale=4)
-    clip = synthetic_video(11, t=3, hw=(96, 64), step=2).astype(np.float32) / 255.0
-    x = jnp.asarray(clip[None])
-    params = jax.jit(model.init, static_argnums=(2, 3))(
-        jax.random.key(0), x, 4 * 96, 4 * 64
-    )["params"]
-    return model, params, x
+@pytest.fixture
+def model_and_params(spatial_vsr_model_and_params):
+    # shared session fixture (conftest.py) — the forward suite
+    # (test_parallel_vsr.py) uses the SAME configuration
+    return spatial_vsr_model_and_params
 
 
 class TestSpatialVSRTraining:
@@ -94,62 +81,3 @@ class TestSpatialVSRTraining:
                 np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
                 err_msg=jax.tree_util.keystr(path),
             )
-
-
-def test_spatial_train_cli_matches_plain(tmp_path, eight_devices, monkeypatch):
-    """End-to-end: train_vsr --spatial_shards 2 for one epoch reports the
-    same per-epoch Charbonnier as the plain run (same seed → same init and
-    batches). The canonical 'basic' model (nf=24, nb=8, rt=17) makes this
-    wiring test a multi-minute CPU compile, so the factory is monkeypatched
-    to a small BasicVSR (rt=3) — the CLI path under test (flag parsing →
-    spatial mesh → make_spatial_vsr_step → epoch loop) is identical, and the
-    numerics are already pinned at full generality by
-    TestSpatialVSRTraining."""
-    import re
-
-    from mobilesuperresolution_tpu.cli import train_vsr as train_vsr_cli
-
-    def tiny_basic(model_type, **kw):
-        assert model_type == "basic"
-        return BasicVSR(
-            num_feat=8, num_block=1, scale=kw["scale"],
-            compute_dtype=kw.get("compute_dtype", jnp.float32),
-        )
-
-    monkeypatch.setattr(train_vsr_cli, "get_vsr_model", tiny_basic)
-
-    common = [
-        "--dataset", "synthetic_vsr",
-        "--eval_datasets", "synthetic_vsr",
-        "--model_type", "basic",
-        "--scale", "2",
-        "--image_batch", "2",
-        "--lr_patch_size", "16",
-        "--num_patches", "8",
-        "--train_batch_size", "8",
-        "--epochs", "1",
-        "--seed", "9",
-    ]
-
-    def charbonnier_of(job):
-        text = (job / "result.log").read_text()
-        return float(re.search(r"charbonnier=([\d.e+-]+)", text).group(1))
-
-    # halo budget guard is fail-loud: R = rt(3) + max_disp(16) = 19 > hloc=8
-    with pytest.raises(ValueError, match="trunk radius"):
-        train_vsr_cli.main(
-            ["--job_dir", str(tmp_path / "bad"), "--spatial_shards", "2",
-             "--spatial_max_disp", "16", *common]
-        )
-    # equivalence: hloc=8 >= rt(3) + max_disp(2); the synthetic 2 px/frame
-    # motion fits the 2-row flow budget, so the sharded loss is exact
-    plain = tmp_path / "plain"
-    train_vsr_cli.main(["--job_dir", str(plain), *common])
-    sharded = tmp_path / "sharded"
-    train_vsr_cli.main(
-        ["--job_dir", str(sharded), "--spatial_shards", "2",
-         "--spatial_max_disp", "2", *common]
-    )
-    assert charbonnier_of(sharded) == pytest.approx(
-        charbonnier_of(plain), rel=1e-4
-    )
