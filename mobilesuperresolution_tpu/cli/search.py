@@ -111,6 +111,12 @@ def main(argv=None):
     steps_per_epoch = train_steps_per_epoch(len(train_ds), params.train_batch_size)
 
     speed_table = None
+    # flag validation BEFORE the expensive on-TPU measurement sweep
+    if params.speed_predictor and (params.speed_table or params.build_speed_table):
+        raise SystemExit(
+            "--speed_predictor is mutually exclusive with "
+            "--speed_table/--build_speed_table"
+        )
     if params.build_speed_table:
         import os
 
@@ -125,8 +131,6 @@ def main(argv=None):
         )
         params.speed_table = table_path
         logging.info(f"latency table ({rows.shape[0]} rows) → {table_path}")
-    if params.speed_table and params.speed_predictor:
-        raise SystemExit("--speed_table and --speed_predictor are mutually exclusive")
     if params.speed_table:
         import os as _os
 
@@ -152,14 +156,22 @@ def main(argv=None):
                     _os.path.basename(p)[: -len(".npy")]
                     for p in _glob.glob(_os.path.join(SPEED_TABLE_DIR, "*.npy"))
                 )
-                kind = jax.devices()[0].device_kind
+                if params.speed_table == "auto":
+                    kind = jax.devices()[0].device_kind
+                    head = (
+                        "--speed_table auto: no packaged table for this "
+                        f"backend (device kind {kind!r})."
+                    )
+                else:
+                    head = (
+                        f"--speed_table {params.speed_table!r}: not a file "
+                        "and not a packaged table name."
+                    )
                 raise SystemExit(
-                    f"--speed_table {params.speed_table!r}: not a file and no "
-                    f"packaged table for this backend (device kind {kind!r}). "
-                    f"Packaged tables: {shipped}. To measure THIS backend, "
-                    "re-run with --build_speed_table (on-TPU timing harness, "
-                    "writes <job_dir>/speed_table.npy), or pass one of the "
-                    "packaged names to target that device."
+                    f"{head} Packaged tables: {shipped}. To measure THIS "
+                    "backend, re-run with --build_speed_table (on-TPU timing "
+                    "harness, writes <job_dir>/speed_table.npy), or pass one "
+                    "of the packaged names to target that device."
                 )
             params.speed_table = resolved
         rows = _np.load(params.speed_table)
