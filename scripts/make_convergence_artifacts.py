@@ -12,8 +12,14 @@ Set5/Urban100 north star, since no real dataset exists in this environment):
    harness and the report records the JAX-vs-torch final-PSNR delta.
 2. **Demo-searched ResultNet** rebuilt from
    artifacts/demo_search_v5e/block_index.txt and retrained.
-3. **Tiny BasicVSR** (Charbonnier, frozen-SpyNet convention) on the synthetic
-   video dataset.
+3. **Tiny BasicVSR** (Charbonnier, the VSR trainer's own Adam/LR conventions
+   — betas (0.9, 0.99), milestones [E/2, 8E/10], train/state.py::
+   vsr_multistep_adam) on the synthetic video dataset. SpyNet trains JOINTLY
+   from random init here: no pretrained SpyNet exists in this offline
+   environment, and freezing a random flow network would starve multi-frame
+   fusion. The production CLI reproduces the reference's frozen-SpyNet
+   convention (train_video_superresolution.py:160-163) when given
+   --spynet_weights.
 
 Run from the repo root on a TPU (or CPU — slower):
     python scripts/make_convergence_artifacts.py [--out artifacts/convergence]
@@ -278,7 +284,12 @@ def run_basicvsr(out_dir, epochs, log):
     ])
 
     oh = ow = hw * vscale
-    tx = multistep_adam(lr, steps_per_epoch, epochs)
+    # the VSR trainer's OWN conventions (betas 0.99, milestones [E/2, 8E/10])
+    # — the pretrain-default optimizer here would contradict the lockstep
+    # parity fix (191064e). SpyNet trains jointly (module docstring).
+    from mobilesuperresolution_tpu.train.state import vsr_multistep_adam
+
+    tx = vsr_multistep_adam(lr, steps_per_epoch, epochs)
     state = create_train_state(
         model, jax.random.key(0), jnp.zeros((1, t, hw, hw, 3)), tx,
         extra_args=(oh, ow),
@@ -294,15 +305,21 @@ def run_basicvsr(out_dir, epochs, log):
         curve.append({"step": int(state.step), "loss": float(metrics["loss"])})
     log(f"basicvsr: loss {curve[0]['loss']:.4f} -> {curve[-1]['loss']:.4f}")
 
+    from mobilesuperresolution_tpu.metrics import ssim
+
     sr = model.apply({"params": state.params}, jnp.asarray(eval_lr[None]), oh, ow)
-    p_sr = float(psnr(sr, jnp.asarray(eval_hr[None]), shave=4)) / t
+    hr_j = jnp.asarray(eval_hr[None])
+    p_sr = float(psnr(sr, hr_j, shave=4)) / t
+    s_sr = float(ssim(sr, hr_j, shave=4)) / t
     base = resize_bilinear(jnp.asarray(eval_lr[None]), (oh, ow), align_corners=False)
-    p_bi = float(psnr(base, jnp.asarray(eval_hr[None]), shave=4)) / t
+    p_bi = float(psnr(base, hr_j, shave=4)) / t
+    s_bi = float(ssim(base, hr_j, shave=4)) / t
     report = {
         "config": {"num_feat": nf, "num_block": nb, "scale": vscale, "t": t,
                    "step": 2, "epochs": epochs, "steps": len(curve)},
         "final_loss": curve[-1]["loss"],
-        "eval": {"PSNR": p_sr, "bilinear_PSNR": p_bi},
+        "eval": {"PSNR": p_sr, "SSIM": s_sr,
+                 "bilinear_PSNR": p_bi, "bilinear_SSIM": s_bi},
     }
     os.makedirs(out_dir, exist_ok=True)
     save_params_npz(out_dir, state.params)

@@ -154,6 +154,13 @@ class TestPackagedConvergenceArtifacts:
         sr = model.apply(
             {"params": params}, jnp.asarray(eval_lr[None]), hw * vscale, hw * vscale
         )
-        p_sr = float(psnr(sr, jnp.asarray(eval_hr[None]), shave=4)) / t
+        hr_j = jnp.asarray(eval_hr[None])
+        p_sr = float(psnr(sr, hr_j, shave=4)) / t
         np.testing.assert_allclose(p_sr, report["eval"]["PSNR"], atol=0.05)
         assert p_sr > report["eval"]["bilinear_PSNR"] + 0.3
+        if "SSIM" in report["eval"]:
+            from mobilesuperresolution_tpu.metrics import ssim
+
+            s_sr = float(ssim(sr, hr_j, shave=4)) / t
+            np.testing.assert_allclose(s_sr, report["eval"]["SSIM"], atol=0.005)
+            assert s_sr > report["eval"]["bilinear_SSIM"]
