@@ -225,9 +225,19 @@ class BasicVSRBase(nn.Module):
     # reconstruction convs stay float (small cost share, output-adjacent).
     quantized: bool = False
 
-    def _flows(self, x):
+    def _flows(self, x, flows=None):
         """x: (B, T, H, W, C) → (flows_forward, flows_backward), each
-        (T-1, B, H, W, 2), both directions in one SpyNet batch."""
+        (T-1, B, H, W, 2), both directions in one SpyNet batch.
+
+        flows: optional precomputed ``(flows_forward, flows_backward)`` in
+        that same time-major layout — used by the flow-reuse serving path
+        (serve/flow_cache.py), where overlapping temporal windows share pair
+        flows instead of recomputing SpyNet per window (SpyNet is ~60% of
+        the pipeline, DESIGN.md). When given, SpyNet is skipped entirely
+        (its params are simply not looked up by the trace)."""
+        if flows is not None:
+            ff, fb = flows
+            return ff.astype(x.dtype), fb.astype(x.dtype)
         spynet = SpyNet(name="spynet", quantized=self.quantized)
         return compute_flows(spynet, x, self.flow_downscale)
 
@@ -257,11 +267,11 @@ class BasicVSR(BasicVSRBase):
     num_block: int = 8
 
     @nn.compact
-    def __call__(self, x, height=1080, width=1920):
+    def __call__(self, x, height=1080, width=1920, flows=None):
         in_dtype = x.dtype
         x = x.astype(self.compute_dtype)
         b, t, h, w, c = x.shape
-        ff, fb = self._flows(x)
+        ff, fb = self._flows(x, flows)
         out_b, out_f = self._propagate(x, ff, fb)
 
         # reconstruction, batched over B*T
@@ -288,13 +298,13 @@ class BasicVSROrigin(BasicVSRBase):
     num_block: int = 30
 
     @nn.compact
-    def __call__(self, x, height=1080, width=1920):
+    def __call__(self, x, height=1080, width=1920, flows=None):
         from mobilesuperresolution_tpu.ops.layers import depth_to_space
 
         in_dtype = x.dtype
         x = x.astype(self.compute_dtype)
         b, t, h, w, c = x.shape
-        ff, fb = self._flows(x)
+        ff, fb = self._flows(x, flows)
         out_b, out_f = self._propagate(x, ff, fb)
 
         feats = jnp.concatenate([out_b, out_f], axis=-1).reshape(

@@ -1,3 +1,7 @@
+from mobilesuperresolution_tpu.serve.flow_cache import (
+    FlowCachedStreamingVSR,
+    make_flow_sr_fns,
+)
 from mobilesuperresolution_tpu.serve.streaming import StreamingVSR
 
-__all__ = ["StreamingVSR"]
+__all__ = ["FlowCachedStreamingVSR", "StreamingVSR", "make_flow_sr_fns"]

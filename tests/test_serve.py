@@ -240,3 +240,194 @@ def test_serve_cli_arrival_pacing(tmp_path, rng):
     assert stats["arrival_fps"] == 50
     # output size defaulted to input x scale
     assert stats["out"] is None
+
+
+# ---------------------------------------------------------------------------
+# Flow-reuse streaming (serve/flow_cache.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tiny_vsr_model():
+    model = BasicVSR(num_feat=8, num_block=1, scale=2)
+    x = jnp.zeros((1, 7, 16, 20, 3))
+    variables = model.init(jax.random.key(0), x, 32, 40)
+    return model, variables
+
+
+def test_flow_cached_matches_chunked(tiny_vsr_model, rng):
+    """Flow-reuse streaming == chunked_vsr_apply to float tolerance (the
+    pair flows are the same VALUES; only the SpyNet batch grouping differs,
+    so outputs agree to reduction-retiling ulp, not bitwise)."""
+    from mobilesuperresolution_tpu.serve import (
+        FlowCachedStreamingVSR,
+        make_flow_sr_fns,
+    )
+
+    model, variables = tiny_vsr_model
+    t, h, w = 17, 16, 20
+    chunk, overlap = 3, 2
+    clip = rng.random((1, t, h, w, 3)).astype(np.float32)
+
+    apply_fn = jax.jit(
+        lambda x, oh, ow: model.apply(variables, x, oh, ow),
+        static_argnums=(1, 2),
+    )
+    want = np.asarray(
+        chunked_vsr_apply(apply_fn, jnp.asarray(clip), 32, 40, chunk, overlap)
+    )
+
+    flow_fn, sr_fn = make_flow_sr_fns(model, variables, 32, 40)
+    stream = FlowCachedStreamingVSR(
+        flow_fn, sr_fn, 32, 40, chunk=chunk, overlap=overlap
+    )
+    stream.warmup((h, w, 3))
+    got = []
+    for i in range(t):
+        got.extend(stream.push(clip[0, i]))
+    got.extend(stream.flush())
+
+    assert len(got) == t
+    np.testing.assert_allclose(np.stack(got)[None], want, rtol=1e-5, atol=1e-5)
+
+
+def test_flow_cached_computes_each_pair_once(tiny_vsr_model, rng,
+                                             monkeypatch):
+    """The point of the cache: no pair flow is ever computed twice, and the
+    cache + frame buffer stay bounded by the window, not the stream."""
+    from mobilesuperresolution_tpu.serve import (
+        FlowCachedStreamingVSR,
+        make_flow_sr_fns,
+    )
+
+    model, variables = tiny_vsr_model
+    t, h, w = 23, 16, 20
+    chunk, overlap = 3, 2
+    clip = rng.random((t, h, w, 3)).astype(np.float32)
+
+    flow_fn, sr_fn = make_flow_sr_fns(model, variables, 32, 40)
+    stream = FlowCachedStreamingVSR(
+        flow_fn, sr_fn, 32, 40, chunk=chunk, overlap=overlap
+    )
+
+    computed = []
+    orig = FlowCachedStreamingVSR._ensure_flows
+
+    def spying(self, pairs):
+        new = []
+        for k in pairs:
+            if k not in self._pair_flows and k not in new:
+                new.append(k)
+        computed.extend(new)
+        return orig(self, pairs)
+
+    monkeypatch.setattr(FlowCachedStreamingVSR, "_ensure_flows", spying)
+
+    max_cache = 0
+    max_frames = 0
+    n_out = 0
+    for i in range(t):
+        n_out += len(stream.push(clip[i]))
+        max_cache = max(max_cache, len(stream._pair_flows))
+        max_frames = max(max_frames, len(stream._frames))
+    n_out += len(stream.flush())
+
+    assert n_out == t
+    # every needed pair computed exactly once
+    assert len(computed) == len(set(computed))
+    # interior pairs + clamped self-pairs at both clip edges
+    assert set(computed) == (
+        {(i, i + 1) for i in range(t - 1)} | {(0, 0), (t - 1, t - 1)}
+    )
+    # O(window) state, never O(stream)
+    assert max_frames <= stream.window + chunk
+    assert max_cache <= stream.window + 2 * chunk
+    assert not stream._pair_flows  # flush() cleared it
+
+
+def test_flow_cached_multistream_matches_solo(tiny_vsr_model, rng):
+    """S lockstep streams through one flow-cached pipeline == each stream
+    served alone (batch-independence, as for plain StreamingVSR)."""
+    from mobilesuperresolution_tpu.serve import (
+        FlowCachedStreamingVSR,
+        make_flow_sr_fns,
+    )
+
+    model, variables = tiny_vsr_model
+    t, h, w, s = 13, 16, 20, 2
+    chunk, overlap = 3, 2
+    clips = rng.random((s, t, h, w, 3)).astype(np.float32)
+
+    flow_fn, sr_fn = make_flow_sr_fns(model, variables, 32, 40)
+
+    solo = []
+    for k in range(s):
+        stream = FlowCachedStreamingVSR(
+            flow_fn, sr_fn, 32, 40, chunk=chunk, overlap=overlap
+        )
+        got = []
+        for i in range(t):
+            got.extend(stream.push(clips[k, i]))
+        got.extend(stream.flush())
+        solo.append(np.stack(got))
+
+    multi = FlowCachedStreamingVSR(
+        flow_fn, sr_fn, 32, 40, chunk=chunk, overlap=overlap, num_streams=s
+    )
+    got = []
+    for i in range(t):
+        got.extend(multi.push(clips[:, i]))
+    got.extend(multi.flush())
+    batched = np.stack(got, axis=1)  # (S, T, OH, OW, C)
+
+    np.testing.assert_allclose(batched, np.stack(solo), rtol=1e-5, atol=1e-5)
+
+
+def test_make_flow_sr_fns_rejects_flowless_model():
+    """mvvsr/naive_multi have no SpyNet — nothing to reuse; fail loud."""
+    from mobilesuperresolution_tpu.serve import make_flow_sr_fns
+
+    with pytest.raises(ValueError, match="SpyNet"):
+        make_flow_sr_fns(
+            BasicVSR(num_feat=8, num_block=1, scale=2),
+            {"params": {"fusion": {}}},
+            32,
+            40,
+        )
+
+
+def test_serve_cli_flow_cache(tmp_path, rng):
+    """--flow_cache serves the same frames as the plain path (uint8 outputs
+    may differ by 1 LSB from the float-ulp flow-batching difference)."""
+    from PIL import Image
+
+    from mobilesuperresolution_tpu.cli import serve
+
+    in_dir = tmp_path / "frames"
+    in_dir.mkdir()
+    t, h, w = 9, 16, 20
+    for i in range(t):
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(in_dir / f"{i:04d}.png")
+
+    outs = {}
+    for flag, name in [([], "plain"), (["--flow_cache"], "cached")]:
+        job = tmp_path / f"job_{name}"
+        serve.main([
+            "--job_dir", str(job),
+            "--input_dir", str(in_dir),
+            "--model_type", "basic",
+            "--scale", "2",
+            "--height", str(h * 2),
+            "--width", str(w * 2),
+            "--chunk_frames", "2",
+            "--chunk_overlap", "1",
+            *flag,
+        ])
+        files = sorted(os.listdir(job / "serve"))
+        assert len(files) == t
+        outs[name] = np.stack(
+            [np.asarray(Image.open(job / "serve" / f)) for f in files]
+        ).astype(np.int16)
+
+    assert np.abs(outs["plain"] - outs["cached"]).max() <= 1
