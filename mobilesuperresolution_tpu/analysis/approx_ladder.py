@@ -70,9 +70,10 @@ def make_translating_video(seed, t, h, w, scale=4, dy=2, dx=3):
 
 
 def train_tiny_origin(lr, hr, steps=150, num_feat=8, num_block=1, scale=4,
-                      t_train=4, seed=0):
-    """Train a tiny BasicVSR_origin on random temporal windows of the clip.
-    Returns (model, params)."""
+                      t_train=4, seed=0, model_cls=None):
+    """Train a small recurrent VSR model (default BasicVSR_origin; pass
+    ``model_cls=BasicVSR`` for the mobile deployment config) on random
+    temporal windows of the clip. Returns (model, params)."""
     from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
     from mobilesuperresolution_tpu.train.state import (
         create_train_state,
@@ -80,9 +81,11 @@ def train_tiny_origin(lr, hr, steps=150, num_feat=8, num_block=1, scale=4,
     )
     from mobilesuperresolution_tpu.train.steps import make_vsr_step
 
+    if model_cls is None:
+        model_cls = BasicVSROrigin
     t, h, w = lr.shape[1:4]
     oh, ow = hr.shape[2], hr.shape[3]
-    model = BasicVSROrigin(num_feat=num_feat, num_block=num_block, scale=scale)
+    model = model_cls(num_feat=num_feat, num_block=num_block, scale=scale)
     state = create_train_state(
         model,
         jax.random.key(seed),
@@ -120,18 +123,26 @@ def run_ladder(
     downscales=(2, 4),
     overlaps=(0, 2, 4, 8),
     seed=0,
+    model_cls=None,
 ):
     """Returns {"exact_psnr": float,
                 "flow_downscale": {d: {"agreement": ..., "delta": ...}},
                 "chunk_overlap":  {ov: {...}},
-                "quantize_int8": {"agreement": ..., "delta": ...}}."""
+                "quantize_int8": {"agreement": ..., "delta": ...}}.
+
+    model_cls: BasicVSROrigin (default) or BasicVSR — the deployment-depth
+    ladder (VERDICT r3 item 7) runs the mobile BasicVSR at nf=24/nb=8, the
+    exact config the --quantize/--flow_downscale/--chunk_frames flags are
+    offered for."""
     from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
     from mobilesuperresolution_tpu.parallel.temporal import chunked_vsr_apply
 
+    if model_cls is None:
+        model_cls = BasicVSROrigin
     lr, hr = make_translating_video(seed, t_eval, h, w, scale)
     model, params = train_tiny_origin(
         lr, hr, steps=train_steps, num_feat=num_feat, num_block=num_block,
-        scale=scale, seed=seed,
+        scale=scale, seed=seed, model_cls=model_cls,
     )
     oh, ow = hr.shape[2], hr.shape[3]
 
@@ -146,7 +157,7 @@ def run_ladder(
     out = {"exact_psnr": _psnr(exact, hr), "flow_downscale": {}, "chunk_overlap": {}}
 
     for d in downscales:
-        m_d = BasicVSROrigin(
+        m_d = model_cls(
             num_feat=num_feat, num_block=num_block, scale=scale, flow_downscale=d
         )
         approx = np.asarray(fwd_with(m_d)(jnp.asarray(lr), oh, ow))
@@ -168,7 +179,7 @@ def run_ladder(
 
     # int8 dynamic-range convs (ops/quant.py, --quantize int8): same float
     # params, quantization happens in-graph
-    m_q = BasicVSROrigin(
+    m_q = model_cls(
         num_feat=num_feat, num_block=num_block, scale=scale, quantized=True
     )
     approx = np.asarray(fwd_with(m_q)(jnp.asarray(lr), oh, ow))
@@ -204,8 +215,24 @@ def format_table(res):
 
 
 def main():
-    jax.config.update("jax_platforms", "cpu")
-    res = run_ladder(train_steps=300, t_eval=24, h=40, w=40)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=("tiny", "deployment"), default="tiny",
+                    help="tiny = 1-block BasicVSR_origin on CPU (fast, the "
+                    "r2 table); deployment = mobile BasicVSR at nf=24/nb=8 "
+                    "— the exact config --quantize/--flow_downscale/"
+                    "--chunk_frames are offered for (VERDICT r3 item 7); "
+                    "runs on the default backend (TPU if present).")
+    args = ap.parse_args()
+    if args.config == "tiny":
+        jax.config.update("jax_platforms", "cpu")
+        res = run_ladder(train_steps=300, t_eval=24, h=40, w=40)
+    else:
+        from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
+
+        res = run_ladder(train_steps=500, num_feat=24, num_block=8,
+                         t_eval=24, h=40, w=40, model_cls=BasicVSR)
     print(format_table(res))
 
 

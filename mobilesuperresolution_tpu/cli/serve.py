@@ -65,13 +65,9 @@ def main(argv=None):
                         "With pacing, latency_p50/p95 measure the real "
                         "arrival→emission latency of live serving instead "
                         "of batch-drain behavior.")
-    parser.add_argument("--flow_cache", action="store_true",
-                        help="Compute each SpyNet pair flow once and reuse "
-                        "it across overlapping windows (serve/flow_cache.py; "
-                        "measured 1.5x throughput at the NEMO shape). Output "
-                        "matches the plain path to float tolerance, not "
-                        "bitwise. SpyNet-based models (basic/basic_origin) "
-                        "only.")
+    # --flow_cache comes from add_vsr_args (shared with chunked eval); for
+    # serving it means: compute each SpyNet pair flow once and reuse it
+    # across overlapping windows (serve/flow_cache.py).
     params, _ = parse_with_plugins(parser, argv, with_models=False)
     logging = LoggingTool(params.job_dir)
     logging.info(attr_extractor(params))
@@ -132,6 +128,11 @@ def main(argv=None):
         )
 
     if params.flow_cache:
+        if getattr(params, "spatial_shards", 1) > 1:
+            raise SystemExit(
+                "--flow_cache and --spatial_shards are not combinable yet "
+                "(the flow cache keys on full-frame pair flows)"
+            )
         from mobilesuperresolution_tpu.serve import (
             FlowCachedStreamingVSR,
             make_flow_sr_fns,
@@ -142,6 +143,38 @@ def main(argv=None):
         )
         stream = FlowCachedStreamingVSR(
             flow_fn, sr_fn, params.height, params.width,
+            chunk=chunk, overlap=params.chunk_overlap, num_streams=n_streams,
+        )
+    elif getattr(params, "spatial_shards", 1) > 1:
+        # multi-chip serving: each window program's recurrent propagation
+        # shards on frame HEIGHT over the mesh's 'spatial' axis (per-step
+        # halo exchange over ICI, parallel/vsr_spatial.py) — the route past
+        # the single-chip exact ceiling for ONE stream's latency. Output
+        # matches single-device streaming to float tolerance
+        # (tests/test_serve.py::test_streaming_spatial_shards_matches_plain).
+        from mobilesuperresolution_tpu.parallel import make_mesh
+        from mobilesuperresolution_tpu.parallel.vsr_spatial import (
+            spatial_basicvsr_forward,
+        )
+
+        n_dev = len(jax.devices())
+        if n_dev % params.spatial_shards:
+            raise SystemExit(
+                f"--spatial_shards {params.spatial_shards} does not divide "
+                f"the {n_dev} available devices"
+            )
+        sp_mesh = make_mesh(
+            data=n_dev // params.spatial_shards, spatial=params.spatial_shards
+        )
+        apply_fn = jax.jit(
+            lambda x, oh, ow: spatial_basicvsr_forward(
+                model, state.params, x, oh, ow, sp_mesh,
+                max_disp=params.spatial_max_disp,
+            ),
+            static_argnums=(1, 2),
+        )
+        stream = StreamingVSR(
+            apply_fn, params.height, params.width,
             chunk=chunk, overlap=params.chunk_overlap, num_streams=n_streams,
         )
     else:

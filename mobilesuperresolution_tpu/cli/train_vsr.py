@@ -76,15 +76,18 @@ def add_vsr_args(parser):
                         "(basic/basic_origin) only; not combinable with "
                         "--chunk_data_parallel.")
     parser.add_argument("--spatial_shards", type=int, default=1,
-                        help="model_type=basic: shard frame HEIGHT over this "
-                        "many devices — recurrent propagation exchanges halo "
-                        "rows per step over ICI (parallel/vsr_spatial.py); "
-                        "SpyNet/reconstruction run frame-parallel. Works for "
-                        "eval AND training (full frames across chips; "
-                        "Charbonnier gradients match the unsharded step). "
-                        "Matches full-frame output whenever flow row "
-                        "displacement fits the --spatial_max_disp budget. "
-                        "H must divide evenly. Mutually exclusive with "
+                        help="model_type=basic/basic_origin: shard frame "
+                        "HEIGHT over this many devices — recurrent "
+                        "propagation exchanges halo rows per step over ICI "
+                        "(parallel/vsr_spatial.py); SpyNet/reconstruction "
+                        "run frame-parallel. Works for eval AND training "
+                        "(full frames across chips; Charbonnier gradients "
+                        "match the unsharded step). Matches full-frame "
+                        "output whenever flow row displacement fits the "
+                        "--spatial_max_disp budget. H must divide evenly, "
+                        "and H/shards must cover the trunk radius "
+                        "(basic_origin's 30-block trunk: >= 61+max_disp "
+                        "rows per shard). Mutually exclusive with "
                         "--chunk_frames.")
     parser.add_argument("--spatial_max_disp", type=int, default=8,
                         help="Halo row budget for --spatial_shards: flow dy "
@@ -255,10 +258,11 @@ def main(argv=None):
         )
     sp_train = (not params.eval_only) and getattr(params, "spatial_shards", 1) > 1
     if sp_train:
-        if params.model_type != "basic":
+        if params.model_type not in ("basic", "basic_origin"):
             raise SystemExit(
-                "--spatial_shards training supports model_type=basic (the "
-                "halo-sharded recurrent forward, parallel/vsr_spatial.py)"
+                "--spatial_shards training supports model_type=basic/"
+                "basic_origin (the halo-sharded recurrent forward, "
+                "parallel/vsr_spatial.py)"
             )
         if getattr(params, "chunk_frames", 0):
             raise SystemExit(
@@ -299,6 +303,15 @@ def main(argv=None):
         compute_dtype=dtype,
         flow_downscale=getattr(params, "flow_downscale", 1),
         remat=getattr(params, "remat", False),
+        # SpyNet is frozen here unconditionally (spynet_frozen_mask below,
+        # the reference's convention), so stopping gradients at the flows is
+        # exact for every trainable parameter and skips the SpyNet backward
+        # torch never runs (models/basicvsr.py::stop_flow_grad; measured in
+        # DESIGN.md "Training attribution")
+        stop_flow_grad=(
+            not params.eval_only
+            and params.model_type in ("basic", "basic_origin", "multi")
+        ),
     )
 
     train_ds = None if params.eval_only else dataset_module.get_dataset(modes.TRAIN, params)

@@ -84,6 +84,7 @@ def get_vsr_model(
     flow_downscale=1,
     remat=False,
     quantized=False,
+    stop_flow_grad=False,
 ):
     """Build a VSR model by type string ('single' | 'multi' | 'multi_v1' |
     'basic' | 'basic_mv' | 'basic_origin'), with the reference's canonical sizes
@@ -108,7 +109,15 @@ def get_vsr_model(
     trunks for the BasicVSR family, SpyNet + encoder/blocks/decode for
     'multi', the conv body for 'single' (reconstruction convs stay float —
     output-adjacent, small cost share). Opt-in inference-only trade like
-    flow_downscale; not implemented for the historical 'multi_v1'."""
+    flow_downscale; not implemented for the historical 'multi_v1'.
+
+    stop_flow_grad: training-only — stop gradients at the flow outputs.
+    EXACT when SpyNet is frozen (the training CLI's unconditional
+    convention, mirroring train_video_superresolution.py:160-163): without
+    it JAX differentiates through the whole SpyNet pyramid only for the
+    optax mask to zero the result, work torch never does
+    (requires_grad=False). Only meaningful for the SpyNet-running types
+    ('basic'/'basic_origin'/'multi')."""
     if flow_downscale < 1:
         raise ValueError(f"flow_downscale must be >= 1, got {flow_downscale}")
     if flow_downscale != 1 and model_type not in ("basic", "basic_origin", "multi"):
@@ -143,6 +152,7 @@ def get_vsr_model(
             compute_dtype=compute_dtype,
             flow_downscale=flow_downscale,
             quantized=quantized,
+            stop_flow_grad=stop_flow_grad,
         )
     if model_type == "multi_v1":
         if block_index_path is None:
@@ -159,6 +169,7 @@ def get_vsr_model(
             flow_downscale=flow_downscale,
             remat=remat,
             quantized=quantized,
+            stop_flow_grad=stop_flow_grad,
         )
     if model_type == "basic_mv":
         return MotionVectorVSR(
@@ -182,5 +193,6 @@ def get_vsr_model(
             flow_downscale=flow_downscale,
             remat=remat,
             quantized=quantized,
+            stop_flow_grad=stop_flow_grad,
         )
     raise KeyError(f"unknown VSR model_type {model_type!r}")

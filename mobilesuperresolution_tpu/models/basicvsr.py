@@ -224,6 +224,16 @@ class BasicVSRBase(nn.Module):
     # int8 MXU path). Opt-in; off = exact reference computation. The
     # reconstruction convs stay float (small cost share, output-adjacent).
     quantized: bool = False
+    # Training-only lever: stop gradients at the flow outputs. EXACT when
+    # SpyNet is frozen (the reference's convention,
+    # train_video_superresolution.py:160-163): flows depend only on the
+    # input frames and the frozen SpyNet params, so no gradient path from
+    # any TRAINABLE param passes through them — but without this flag JAX
+    # still differentiates through the whole SpyNet pyramid to produce
+    # cotangents the optax mask then zeroes. torch skips that backward
+    # automatically via requires_grad=False; this flag is the jax
+    # equivalent (measured: see DESIGN.md "Training attribution").
+    stop_flow_grad: bool = False
 
     def _flows(self, x, flows=None):
         """x: (B, T, H, W, C) → (flows_forward, flows_backward), each
@@ -239,7 +249,10 @@ class BasicVSRBase(nn.Module):
             ff, fb = flows
             return ff.astype(x.dtype), fb.astype(x.dtype)
         spynet = SpyNet(name="spynet", quantized=self.quantized)
-        return compute_flows(spynet, x, self.flow_downscale)
+        ff, fb = compute_flows(spynet, x, self.flow_downscale)
+        if self.stop_flow_grad:
+            ff, fb = jax.lax.stop_gradient((ff, fb))
+        return ff, fb
 
     def _propagate(self, x, flows_forward, flows_backward):
         """Bidirectional propagation as ONE scan: the backward leg runs over

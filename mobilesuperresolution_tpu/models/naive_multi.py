@@ -20,6 +20,7 @@ SpyNet is frozen in training (handled by the optimizer mask, not the model).
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mobilesuperresolution_tpu.models.spynet import (
@@ -62,6 +63,12 @@ class NaiveMultiModel(nn.Module):
     # int8 dynamic-range inference convs (SpyNet + encoder + blocks + decode;
     # ops/quant.py). Inference-only.
     quantized: bool = False
+    # Training-only: stop gradients at the flow outputs — EXACT because this
+    # model's SpyNet is ALWAYS frozen (the reference sets requires_grad=False,
+    # naive_multi_model_easy.py:48-49, which in torch skips the SpyNet
+    # backward; this flag is the jax equivalent — models/basicvsr.py has the
+    # full rationale).
+    stop_flow_grad: bool = False
 
     @classmethod
     def from_artifact(cls, path, scale, **kw):
@@ -83,6 +90,8 @@ class NaiveMultiModel(nn.Module):
         ff = upsample_flow(
             SpyNet(name="flownet", quantized=self.quantized)(x2, x1), h, w
         )
+        if self.stop_flow_grad:
+            ff = jax.lax.stop_gradient(ff)
         ff = ff.reshape(b, t - 1, h, w, 2)
         # frame 0: zero flow (naive_multi_model_easy.py:125-128); explicit
         # shape so T=1 clips work

@@ -1,8 +1,8 @@
-"""Exact spatially-sharded BasicVSR inference — the recurrent analog of
-parallel/halo.py, extending multi-chip spatial scaling from the pure-conv
-WDSR family to the flagship VSR pipeline (reference's only high-resolution
-mechanism: lossy 64x64 overlap tiling on one device,
-test_video_superresolution_by_patch.py:165-226).
+"""Exact spatially-sharded recurrent VSR (BasicVSR AND BasicVSROrigin) —
+the recurrent analog of parallel/halo.py, extending multi-chip spatial
+scaling from the pure-conv WDSR family to the flagship VSR pipeline
+(reference's only high-resolution mechanism: lossy 64x64 overlap tiling on
+one device, test_video_superresolution_by_patch.py:165-226).
 
 Decomposition by the structure of the work (SURVEY §5.7):
 
@@ -38,13 +38,18 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mobilesuperresolution_tpu.models.basicvsr import (
     BasicVSR,
+    BasicVSROrigin,
     _DualTrunk,
     compute_flows,
     lrelu,
     stack_directions,
 )
 from mobilesuperresolution_tpu.models.spynet import SpyNet
-from mobilesuperresolution_tpu.ops.layers import PlainConv, SubpixelConvTranspose
+from mobilesuperresolution_tpu.ops.layers import (
+    PlainConv,
+    SubpixelConvTranspose,
+    depth_to_space,
+)
 from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 from mobilesuperresolution_tpu.ops.warp import flow_warp
 
@@ -146,11 +151,22 @@ def spatial_basicvsr_forward(
     clips; the spatial halo exchange runs within each data row's spatial
     group), so a (data=D, spatial=S) mesh trains D clips × S height shards
     per step. A non-dividing data axis falls back to replicated compute over
-    ``data`` (correct, no speedup)."""
-    if not isinstance(model, BasicVSR):
+    ``data`` (correct, no speedup).
+
+    Covers both recurrent reconstructions: the mobile ``BasicVSR``
+    (fusion → ConvTranspose → resize → +base) and the faithful
+    ``BasicVSROrigin`` (fusion → 2x PixelShuffle ladder → conv_hr →
+    conv_last → +4x base → resize, basicvsr_arch_origin.py:85-94). The
+    propagation stage — where height sharding pays — is byte-identical
+    machinery for both (BasicVSRBase._propagate); only the frame-parallel
+    reconstruction differs. Note the deep origin trunk (num_block=30) has
+    rt = 61: per-step halos reach only adjacent shards, so the shard height
+    must satisfy H/n >= rt + max_disp (e.g. 270-row x4 LR frames support
+    n=2)."""
+    if not isinstance(model, (BasicVSR, BasicVSROrigin)):
         raise TypeError(
-            "spatial_basicvsr_forward supports the mobile BasicVSR "
-            f"reconstruction; got {type(model).__name__}"
+            "spatial_basicvsr_forward supports the BasicVSR / BasicVSROrigin "
+            f"recurrent models; got {type(model).__name__}"
         )
     n = mesh.shape[axis]
     b, t, h, w, c = x.shape
@@ -246,17 +262,36 @@ def spatial_basicvsr_forward(
 
     # --- 3. reconstruction: frame-parallel over B*T -------------------------
     feats = _fp_put(feats, mesh, axis)
-    out = lrelu(
-        PlainConv(2 * nf, 1, use_bias=True).apply({"params": params["fusion"]}, feats)
-    )
-    out = SubpixelConvTranspose(3, kernel_size=5, stride=model.scale).apply(
-        {"params": params["conv_last"]}, out, out_hw=(height, width),
-        align_corners=False,
-    )
-    base = resize_bilinear(
-        x.reshape(b * t, h, w, c), (height, width), align_corners=False
-    )
-    # cast back to the caller's dtype exactly like BasicVSR.__call__ — the
+    if isinstance(model, BasicVSROrigin):
+        # faithful ladder (models/basicvsr.py::BasicVSROrigin.__call__)
+        out = lrelu(PlainConv(nf, 1).apply({"params": params["fusion"]}, feats))
+        out = lrelu(depth_to_space(
+            PlainConv(nf * 4, 3).apply({"params": params["upconv1"]}, out), 2
+        ))
+        out = lrelu(depth_to_space(
+            PlainConv(64 * 4, 3).apply({"params": params["upconv2"]}, out), 2
+        ))
+        out = lrelu(PlainConv(64, 3).apply({"params": params["conv_hr"]}, out))
+        out = PlainConv(3, 3).apply({"params": params["conv_last"]}, out)
+        base = resize_bilinear(
+            x.reshape(b * t, h, w, c), (h * 4, w * 4), align_corners=False
+        )
+        out = resize_bilinear(out + base, (height, width), align_corners=False)
+    else:
+        out = lrelu(
+            PlainConv(2 * nf, 1, use_bias=True).apply(
+                {"params": params["fusion"]}, feats
+            )
+        )
+        out = SubpixelConvTranspose(3, kernel_size=5, stride=model.scale).apply(
+            {"params": params["conv_last"]}, out, out_hw=(height, width),
+            align_corners=False,
+        )
+        base = resize_bilinear(
+            x.reshape(b * t, h, w, c), (height, width), align_corners=False
+        )
+        out = out + base
+    # cast back to the caller's dtype exactly like the plain __call__ — the
     # 'matches the plain forward' contract includes the output dtype under
     # compute_dtype=bfloat16
-    return (out + base).reshape(b, t, height, width, c).astype(in_dtype)
+    return out.reshape(b, t, height, width, c).astype(in_dtype)

@@ -14,12 +14,14 @@ Set5/Urban100 north star, since no real dataset exists in this environment):
    artifacts/demo_search_v5e/block_index.txt and retrained.
 3. **Tiny BasicVSR** (Charbonnier, the VSR trainer's own Adam/LR conventions
    — betas (0.9, 0.99), milestones [E/2, 8E/10], train/state.py::
-   vsr_multistep_adam) on the synthetic video dataset. SpyNet trains JOINTLY
-   from random init here: no pretrained SpyNet exists in this offline
-   environment, and freezing a random flow network would starve multi-frame
-   fusion. The production CLI reproduces the reference's frozen-SpyNet
-   convention (train_video_superresolution.py:160-163) when given
-   --spynet_weights.
+   vsr_multistep_adam) on the synthetic video dataset, trained LOCKSTEP with
+   its torch twin to the plateau like the WDSR run; the report records
+   torch_eval and the JAX-vs-torch converged-PSNR delta (VERDICT r3 item 4).
+   SpyNet trains JOINTLY from random init on BOTH sides: no pretrained
+   SpyNet exists in this offline environment, and freezing a random flow
+   network would starve multi-frame fusion. The production CLI reproduces
+   the reference's frozen-SpyNet convention
+   (train_video_superresolution.py:160-163) when given --spynet_weights.
 
 Run from the repo root on a TPU (or CPU — slower):
     python scripts/make_convergence_artifacts.py [--out artifacts/convergence]
@@ -247,11 +249,15 @@ def run_resultnet(out_dir, epochs, log):
     return report
 
 
-def run_basicvsr(out_dir, epochs, log):
+def run_basicvsr(out_dir, epochs, log, torch_twin=False):
     from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
     from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 
-    nf, nb, t, hw, vscale = 16, 1, 4, 32, 4
+    # hw >= 64: the torch twin's 6-level SpyNet pyramid halves the frame 5x
+    # and inits flow at half the coarsest level (spynet_arch.py:55-77) — at
+    # 32 the base level would be 0-sized. The jax model tolerates 32, but
+    # lockstep parity must run a size the reference itself can compute.
+    nf, nb, t, hw, vscale = 16, 1, 4, 64, 4
     model = BasicVSR(num_feat=nf, num_block=nb, scale=vscale)
     steps_per_epoch, lr = 12, 1e-3
 
@@ -295,15 +301,49 @@ def run_basicvsr(out_dir, epochs, log):
         extra_args=(oh, ow),
     )
     step = make_vsr_step(state, (oh, ow))
+
+    twin = opt = sched = None
+    if torch_twin:
+        import torch
+        from helpers.torch_twins import _TorchBasicVSRTwin
+
+        # SpyNet trains jointly on BOTH sides here (module docstring); the
+        # optimizer/schedule mirror vsr_multistep_adam exactly
+        twin = _TorchBasicVSRTwin(state.params, nf, nb, vscale, train_spynet=True)
+        opt = torch.optim.Adam(twin.tensors(), lr=lr, betas=(0.9, 0.99))
+        sched = torch.optim.lr_scheduler.MultiStepLR(
+            opt, milestones=[epochs // 2, epochs * 8 // 10], gamma=0.3
+        )
+
     rng = np.random.default_rng(9)
     curve = []
-    for _ in range(epochs * steps_per_epoch):
+    t0 = time.time()
+    for n in range(epochs * steps_per_epoch):
         i = int(rng.integers(len(clips_hr)))
         state, metrics = step(
             state, (jnp.asarray(clips_lr[i][None]), jnp.asarray(clips_hr[i][None]))
         )
-        curve.append({"step": int(state.step), "loss": float(metrics["loss"])})
-    log(f"basicvsr: loss {curve[0]['loss']:.4f} -> {curve[-1]['loss']:.4f}")
+        rec = {"step": int(state.step), "loss": float(metrics["loss"])}
+        if twin is not None:
+            import torch
+
+            opt.zero_grad()
+            sr_t = twin.forward(
+                torch.from_numpy(clips_lr[i][None].transpose(0, 1, 4, 2, 3)),
+                oh, ow,
+            )
+            diff = sr_t - torch.from_numpy(
+                clips_hr[i][None].transpose(0, 1, 4, 2, 3)
+            )
+            tl = torch.sqrt(diff * diff + 1e-12).mean()
+            tl.backward()
+            opt.step()
+            rec["torch_loss"] = float(tl.detach())
+            if (n + 1) % steps_per_epoch == 0:
+                sched.step()
+        curve.append(rec)
+    log(f"basicvsr: {len(curve)} steps in {time.time() - t0:.1f}s, "
+        f"loss {curve[0]['loss']:.4f} -> {curve[-1]['loss']:.4f}")
 
     from mobilesuperresolution_tpu.metrics import ssim
 
@@ -321,6 +361,17 @@ def run_basicvsr(out_dir, epochs, log):
         "eval": {"PSNR": p_sr, "SSIM": s_sr,
                  "bilinear_PSNR": p_bi, "bilinear_SSIM": s_bi},
     }
+    if twin is not None:
+        from helpers.torch_twins import basicvsr_twin_to_flax_params
+
+        tp = basicvsr_twin_to_flax_params(twin)
+        sr_t = model.apply({"params": tp}, jnp.asarray(eval_lr[None]), oh, ow)
+        report["torch_eval"] = {
+            "PSNR": float(psnr(sr_t, hr_j, shave=4)) / t,
+            "SSIM": float(ssim(sr_t, hr_j, shave=4)) / t,
+        }
+        report["torch_final_loss"] = curve[-1]["torch_loss"]
+        report["jax_vs_torch_psnr_delta"] = p_sr - report["torch_eval"]["PSNR"]
     os.makedirs(out_dir, exist_ok=True)
     save_params_npz(out_dir, state.params)
     with open(os.path.join(out_dir, "curve.jsonl"), "w") as f:
@@ -363,7 +414,8 @@ def main(argv=None):
         )
     if "basicvsr" in runs:
         reports["basicvsr_x4"] = run_basicvsr(
-            os.path.join(args.out, "basicvsr_x4"), args.vsr_epochs, log
+            os.path.join(args.out, "basicvsr_x4"), args.vsr_epochs, log,
+            torch_twin=torch_twin,
         )
     for name, r in reports.items():
         e = r["eval"]

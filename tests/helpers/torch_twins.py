@@ -242,10 +242,14 @@ class _TorchBasicVSRTwin:
     SpyNet tensors are created with requires_grad=False: the reference's VSR
     optimizer simply never includes spynet params
     (train_video_superresolution.py:160-163), which is what our optax
-    set_to_zero mask reproduces."""
+    set_to_zero mask reproduces. ``train_spynet=True`` makes them trainable
+    instead — the convergence-artifact configuration, where no pretrained
+    SpyNet exists and the flow net learns jointly on both sides."""
 
-    def __init__(self, flax_params, num_feat, num_block, scale=4):
+    def __init__(self, flax_params, num_feat, num_block, scale=4,
+                 train_spynet=False):
         self.nf, self.nb, self.scale = num_feat, num_block, scale
+        self.train_spynet = train_spynet
         P = flax_params
         self.spy = []
         for level in range(6):
@@ -257,9 +261,9 @@ class _TorchBasicVSRTwin:
                             np.transpose(
                                 np.asarray(lp[f"conv{j}_kernel"]), (3, 2, 0, 1)
                             ),
-                            grad=False,
+                            grad=train_spynet,
                         ),
-                        _t(np.asarray(lp[f"conv{j}_bias"]), grad=False),
+                        _t(np.asarray(lp[f"conv{j}_bias"]), grad=train_spynet),
                     )
                     for j in range(5)
                 ]
@@ -287,9 +291,14 @@ class _TorchBasicVSRTwin:
         )
 
     def tensors(self):
-        """Trainable (non-spynet) tensors — the reference's optimizer param
-        group (train_video_superresolution.py:160-163)."""
+        """Trainable tensors — the reference's optimizer param group excludes
+        spynet (train_video_superresolution.py:160-163) unless the twin was
+        built with train_spynet=True (joint-flow convergence runs)."""
         out = []
+        if self.train_spynet:
+            for level in self.spy:
+                for w, b in level:
+                    out.extend([w, b])
         for d in ("backward", "forward"):
             for w, b in self.trunks[d]:
                 out.extend([w, b])
@@ -381,7 +390,13 @@ class _TorchBasicVSRTwin:
         x2 = x[:, 1:].reshape(-1, c, h, w)
         flows_backward = self._spynet(x1, x2).view(b, n - 1, 2, h, w)
         flows_forward = self._spynet(x2, x1).view(b, n - 1, 2, h, w)
+        return self._recur(x, flows_forward, flows_backward, height, width)
 
+    def _recur(self, x, flows_forward, flows_backward, height, width):
+        """Bidirectional recurrences + fusion + reconstruction
+        (basicvsr_arch.py:67-101), shared with the MV twin whose flows come
+        from the bitstream instead of SpyNet."""
+        b, n, c, h, w = x.shape
         out_l = []
         feat_prop = x.new_zeros(b, self.nf, h, w)
         for i in range(n - 1, -1, -1):
@@ -421,6 +436,187 @@ def torch_wn_to_flax(p):
         ),
         "g": p["g"].detach().numpy().copy(),
         "b": p["b"].detach().numpy().copy(),
+    }
+
+
+class _TorchMVVSRTwin(_TorchBasicVSRTwin):
+    """Functional twin of the reference's MotionVectorVSR
+    (models/mvvsr_arch.py:11-109) over torch tensors converted from our flax
+    init (models/mvvsr.py): same recurrences/reconstruction as BasicVSR, but
+    flows come free from the bitstream — flows_forward = mv[:, 1:],
+    backward = -forward (mvvsr_arch.py:63-67). No SpyNet parameters (the
+    reference constructs one but bypasses it)."""
+
+    def __init__(self, flax_params, num_feat, num_block, scale=4):
+        self.nf, self.nb, self.scale = num_feat, num_block, scale
+        self.train_spynet = False
+        self.spy = []
+        P = flax_params
+        T = P["propagation"]["trunks"]
+        self.trunks = {}
+        for d in ("backward", "forward"):
+            conv = lambda name: (
+                _t(np.transpose(np.asarray(T[f"{d}_{name}_kernel"]), (3, 2, 0, 1))),
+                _t(np.asarray(T[f"{d}_{name}_bias"])),
+            )
+            layers = [conv("conv0")]
+            for i in range(num_block):
+                layers.append(conv(f"block{i}_conv1"))
+                layers.append(conv(f"block{i}_conv2"))
+            self.trunks[d] = layers
+        self.fusion = _plain_from_flax(P["fusion"])
+        k = np.asarray(P["conv_last"]["kernel"])
+        self.conv_last = (
+            _t(np.ascontiguousarray(k.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1])),
+            _t(np.asarray(P["conv_last"]["bias"])),
+        )
+
+    def forward(self, x_mv, height, width):
+        """x_mv: (B, T, 5, H, W) = RGB + motion vectors."""
+        x = x_mv[:, :, :3]
+        mv = x_mv[:, :, 3:5]
+        flows_forward = mv[:, 1:]
+        flows_backward = flows_forward * (-1)
+        return self._recur(x, flows_forward, flows_backward, height, width)
+
+
+class _TorchNaiveMultiTwin:
+    """Functional twin of the reference's 'multi' Naive_model
+    (models/naive_multi_model_easy.py:34-154) over torch tensors converted
+    from our flax init (models/naive_multi.py): WN encoder, block 0 consumes
+    concat(flow, warped previous encoding, current), later blocks plain,
+    PixelShuffle + bilinear base. The SpyNet (flownet) is frozen exactly as
+    in the reference (:48-49): tensors() excludes it."""
+
+    def __init__(self, flax_params, idx, scale=4):
+        self.idx, self.scale = tuple(tuple(b) for b in idx), scale
+        P = flax_params
+        self.spy = []
+        for level in range(6):
+            lp = P["flownet"][f"level_{level}"]
+            self.spy.append(
+                [
+                    (
+                        _t(
+                            np.transpose(
+                                np.asarray(lp[f"conv{j}_kernel"]), (3, 2, 0, 1)
+                            ),
+                            grad=False,
+                        ),
+                        _t(np.asarray(lp[f"conv{j}_bias"]), grad=False),
+                    )
+                    for j in range(5)
+                ]
+            )
+        self.encode = _flax_wn_to_torch(P["encode"])
+        self.blocks = [
+            [
+                _plain_from_flax(P[f"block_{i}"]["PlainConv_0"]),
+                _plain_from_flax(P[f"block_{i}"]["PlainConv_1"]),
+            ]
+            for i in range(len(self.idx))
+        ]
+        self.decode = _flax_wn_to_torch(P["decode"])
+
+    def tensors(self):
+        """Trainable (non-flownet) tensors — the reference freezes SpyNet
+        (naive_multi_model_easy.py:48-49) and the VSR optimizer excludes it
+        (train_video_superresolution.py:160-163)."""
+        out = [self.encode["v"], self.encode["g"], self.encode["b"]]
+        for b0, b1 in self.blocks:
+            out.extend([*b0, *b1])
+        out.extend([self.decode["v"], self.decode["g"], self.decode["b"]])
+        return out
+
+    _spynet = _TorchBasicVSRTwin._spynet
+    _warp_border = staticmethod(_TorchBasicVSRTwin._warp_border)
+    _warp = staticmethod(_TorchBasicVSRTwin._warp)
+
+    def forward(self, x, height=None, width=None):
+        """x: (B, T, C, H, W) → (B, T, C, scale*H, scale*W). height/width are
+        accepted for the (lr, H, W) trainer signature but unused — the
+        reference hard-codes PixelShuffle + scale_factor base (:142-146)."""
+        b, n, c, h, w = x.shape
+        x1 = x[:, :-1].reshape(-1, c, h, w)
+        x2 = x[:, 1:].reshape(-1, c, h, w)
+        flows_forward = self._spynet(x2, x1).view(b, n - 1, 2, h, w)
+
+        outs = []
+        pre = None
+        for i in range(n):
+            xi = x[:, i]
+            enc = _wn_conv(xi, self.encode, 3)
+            if i == 0:
+                flow = torch.zeros(b, 2, h, w)
+                x_warp = enc
+            else:
+                flow = flows_forward[:, i - 1]
+                x_warp = self._warp(pre, flow)
+            pre = enc
+            y = enc
+            for j, (_cin, _split, k) in enumerate(self.idx):
+                x_c = torch.cat([flow, x_warp, y], 1) if j == 0 else y
+                (w1, b1), (w2, b2) = self.blocks[j]
+                z = F.relu(F.conv2d(x_c, w1, b1, padding=k // 2))
+                y = F.conv2d(z, w2, b2, padding=k // 2) + y
+            out = _wn_conv(y, self.decode, 3)
+            out = F.pixel_shuffle(out, self.scale)
+            base = F.interpolate(
+                xi, scale_factor=self.scale, mode="bilinear", align_corners=False
+            )
+            outs.append(out + base)
+        return torch.stack(outs, 1)
+
+
+def basicvsr_twin_to_flax_params(twin):
+    """Final _TorchBasicVSRTwin weights -> flax params for
+    models.basicvsr.BasicVSR (exact inverse of the twin's init-sharing
+    conversion) so the SAME jax eval harness scores both frameworks' trained
+    VSR weights."""
+
+    def arr(t):
+        return t.detach().numpy().copy()
+
+    spynet = {}
+    for level, layers in enumerate(twin.spy):
+        lp = {}
+        for j, (w, b) in enumerate(layers):
+            lp[f"conv{j}_kernel"] = np.ascontiguousarray(
+                arr(w).transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            )
+            lp[f"conv{j}_bias"] = arr(b)
+        spynet[f"level_{level}"] = lp
+
+    trunks = {}
+    for d in ("backward", "forward"):
+        layers = twin.trunks[d]
+        names = ["conv0"]
+        for i in range(twin.nb):
+            names += [f"block{i}_conv1", f"block{i}_conv2"]
+        for name, (w, b) in zip(names, layers):
+            trunks[f"{d}_{name}_kernel"] = np.ascontiguousarray(
+                arr(w).transpose(2, 3, 1, 0)
+            )
+            trunks[f"{d}_{name}_bias"] = arr(b)
+
+    # torch ConvTranspose2d weight (Cin,Cout,K,K), spatially flipped ->
+    # flax SubpixelConvTranspose kernel (K,K,Cin,Cout)
+    k = arr(twin.conv_last[0])[:, :, ::-1, ::-1]
+    return {
+        "spynet": spynet,
+        "propagation": {"trunks": trunks},
+        "fusion": {
+            "Conv_0": {
+                "kernel": np.ascontiguousarray(
+                    arr(twin.fusion[0]).transpose(2, 3, 1, 0)
+                ),
+                "bias": arr(twin.fusion[1]),
+            }
+        },
+        "conv_last": {
+            "kernel": np.ascontiguousarray(k.transpose(2, 3, 0, 1)),
+            "bias": arr(twin.conv_last[1]),
+        },
     }
 
 

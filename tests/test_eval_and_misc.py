@@ -285,6 +285,51 @@ def test_launcher_flags_exist_in_package():
     assert not missing, missing
 
 
+_CLI_MODULES = [
+    "pretrain", "search", "retrain_searched", "train_vsr", "test_vsr",
+    "test_vsr_by_patch", "prepare_dataset", "serve", "export",
+]
+
+
+@pytest.mark.parametrize("cli_name", _CLI_MODULES)
+def test_cli_parser_builds_without_conflicts(cli_name, monkeypatch):
+    """Every CLI's parser must construct — including plugin-injected dataset
+    and model flags for EVERY registered dataset — without argparse conflicts
+    and render a full --help. Guards against the round-3 regression where a
+    flag added to a shared arg group (add_vsr_args --flow_cache) collided
+    with a CLI's own definition and crashed every `serve` invocation at
+    parse time."""
+    import importlib
+
+    mod = importlib.import_module(f"mobilesuperresolution_tpu.cli.{cli_name}")
+    if cli_name == "export":  # plain argparse, no plugin injection
+        with pytest.raises(SystemExit) as e:
+            mod.main(["--help"])
+        assert e.value.code == 0
+        return
+
+    import mobilesuperresolution_tpu.data as data_pkg
+    import mobilesuperresolution_tpu.models as models_pkg
+
+    class _ParserBuilt(Exception):
+        pass
+
+    for ds in sorted(data_pkg._DATASET_MODULES):
+        # Real plugin injection (the second half of parse_with_plugins),
+        # then bail out before any work runs. Patch the CLI module's bound
+        # name — each imports parse_with_plugins by value.
+        def fake_parse(parser, argv=None, with_models=True, _ds=ds):
+            data_pkg.get_dataset_module(_ds).update_argparser(parser)
+            if with_models:
+                models_pkg.update_argparser(parser)
+            parser.format_help()
+            raise _ParserBuilt
+
+        monkeypatch.setattr(mod, "parse_with_plugins", fake_parse)
+        with pytest.raises(_ParserBuilt):
+            mod.main(["--job_dir", "/tmp/drift_guard", "--dataset", ds])
+
+
 def test_meters_and_modes():
     from mobilesuperresolution_tpu.core import modes
     from mobilesuperresolution_tpu.core.meters import AverageMeter, TimeMeter

@@ -94,6 +94,54 @@ def test_basicvsr_remat_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_basicvsr_stop_flow_grad_exact_for_trainables():
+    """stop_flow_grad=True must (a) leave the forward bitwise-identical, (b)
+    leave every NON-spynet gradient identical — flows depend only on the
+    input and the (frozen-in-training) SpyNet params, so no trainable
+    gradient path crosses them — and (c) zero the spynet gradients (the
+    backward work the flag removes; torch skips it via requires_grad=False,
+    naive_multi_model_easy.py:48-49 / train_video_superresolution.py:
+    160-163)."""
+    from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
+
+    x = jnp.asarray(
+        np.random.default_rng(1).random((1, 3, 8, 8, 3)), dtype=jnp.float32
+    )
+    m_plain = BasicVSR(num_feat=8, num_block=1, scale=4)
+    m_stop = BasicVSR(num_feat=8, num_block=1, scale=4, stop_flow_grad=True)
+    vs = jax.jit(m_plain.init, static_argnums=(2, 3))(jax.random.key(2), x, 32, 32)
+
+    np.testing.assert_array_equal(
+        np.asarray(m_plain.apply(vs, x, 32, 32)),
+        np.asarray(m_stop.apply(vs, x, 32, 32)),
+    )
+
+    def loss(m, p):
+        return jnp.mean(jnp.abs(m.apply({"params": p}, x, 32, 32)))
+
+    g1 = jax.grad(lambda p: loss(m_plain, p))(vs["params"])
+    g2 = jax.grad(lambda p: loss(m_stop, p))(vs["params"])
+    for k in g1:
+        if k == "spynet":
+            continue
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            g1[k],
+            g2[k],
+        )
+    assert all(
+        float(jnp.abs(leaf).max()) == 0.0
+        for leaf in jax.tree_util.tree_leaves(g2["spynet"])
+    )
+    # and the plain path DOES produce non-zero spynet grads (the work saved)
+    assert any(
+        float(jnp.abs(leaf).max()) > 0.0
+        for leaf in jax.tree_util.tree_leaves(g1["spynet"])
+    )
+
+
 def test_get_vsr_model_remat_wiring():
     """--remat reaches the recurrent family through the registry and is
     rejected (not silently ignored) for frame-parallel types."""

@@ -112,10 +112,35 @@ class TestSpatialVSR:
         with pytest.raises(ValueError, match="not divisible"):
             spatial_basicvsr_forward(model, params, x, 400, 256, mesh)
 
-    def test_rejects_origin_model(self, eight_devices):
-        mesh = _mesh(eight_devices, 2)
+    def test_origin_sharded_matches_full_frame(
+        self, eight_devices, model_and_params
+    ):
+        """BasicVSROrigin — the faithful reconstruction ladder (fusion →
+        2x PixelShuffle → conv_hr → conv_last → +4x base → resize) — must
+        shard exactly like the mobile model: the propagation machinery is
+        shared, only the frame-parallel reconstruction differs (VERDICT r3
+        item 5: origin is the trunk-dominated model where height sharding
+        pays most)."""
+        _, _, x = model_and_params
         m = BasicVSROrigin(num_feat=8, num_block=1, scale=4)
-        with pytest.raises(TypeError, match="mobile BasicVSR"):
+        h, w = x.shape[2], x.shape[3]
+        params = jax.jit(m.init, static_argnums=(2, 3))(
+            jax.random.key(1), x, 4 * h, 4 * w
+        )["params"]
+        want = np.asarray(m.apply({"params": params}, x, 4 * h, 4 * w))
+        mesh = _mesh(eight_devices, 8)
+        got = np.asarray(
+            spatial_basicvsr_forward(m, params, x, 4 * h, 4 * w, mesh, max_disp=8)
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+    def test_rejects_non_recurrent_model(self, eight_devices):
+        from mobilesuperresolution_tpu.models.single_image import SingleImageModel
+
+        mesh = _mesh(eight_devices, 2)
+        m = SingleImageModel(scale=4, channel=8, blocks=1)
+        with pytest.raises(TypeError, match="recurrent models"):
             spatial_basicvsr_forward(
                 m, {}, jnp.zeros((1, 2, 32, 32, 3)), 128, 128, mesh
             )

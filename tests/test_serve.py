@@ -141,6 +141,50 @@ def test_multistream_matches_solo(tiny_vsr, rng):
     np.testing.assert_allclose(stacked, np.stack(solo), atol=1e-6, rtol=1e-5)
 
 
+def test_streaming_spatial_shards_matches_plain(eight_devices, rng):
+    """Multi-chip serving (VERDICT r3 item 8): one stream's window program
+    sharded on frame HEIGHT over 8 virtual devices
+    (parallel/vsr_spatial.py) must stream the same frames as single-device
+    streaming — the route past the single-chip exact throughput ceiling."""
+    from helpers.meshes import spatial_mesh
+    from mobilesuperresolution_tpu.parallel.vsr_spatial import (
+        spatial_basicvsr_forward,
+    )
+
+    model = BasicVSR(num_feat=8, num_block=1, scale=4)
+    t, h, w = 10, 96, 32  # 96 rows / 8 shards = 12 >= rt(3) + max_disp(8)
+    oh, ow = 4 * h, 4 * w
+    chunk, overlap = 3, 2
+    clip = rng.random((1, t, h, w, 3)).astype(np.float32)
+    variables = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.key(0), clip[:, :chunk + 2 * overlap], oh, ow
+    )
+
+    plain_fn = jax.jit(
+        lambda x, a, b: model.apply(variables, x, a, b), static_argnums=(1, 2)
+    )
+    mesh = spatial_mesh(eight_devices, 8)
+    sp_fn = jax.jit(
+        lambda x, a, b: spatial_basicvsr_forward(
+            model, variables["params"], x, a, b, mesh, max_disp=8
+        ),
+        static_argnums=(1, 2),
+    )
+
+    def run(fn):
+        stream = StreamingVSR(fn, oh, ow, chunk=chunk, overlap=overlap)
+        got = []
+        for i in range(t):
+            got.extend(stream.push(clip[0, i]))
+        got.extend(stream.flush())
+        return np.stack(got)
+
+    want = run(plain_fn)
+    got = run(sp_fn)
+    assert got.shape == want.shape == (t, oh, ow, 3)
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
 def test_serve_cli(tmp_path, rng):
     from PIL import Image
 

@@ -322,3 +322,139 @@ def test_vsr_train_lockstep():
         state.params["spynet"],
         spy_init,
     )
+
+
+def test_naive_multi_train_lockstep():
+    """12 lockstep steps (4 'epochs' x 3, crossing the [E/2, 8E/10]
+    milestones) of 'multi' NaiveMultiModel training — the NAS-product VSR
+    type the entry points actually use (naive_multi_model_easy.py:34-154):
+    block_index consumption, frozen SpyNet (flownet), temporal concat in
+    block 0. Per-step Charbonnier losses and final trainable weights must
+    match the torch twin; the frozen flownet must be bitwise-untouched."""
+    from helpers.torch_twins import _TorchNaiveMultiTwin
+
+    from mobilesuperresolution_tpu.cli.train_vsr import spynet_frozen_mask
+    from mobilesuperresolution_tpu.models.naive_multi import NaiveMultiModel
+    from mobilesuperresolution_tpu.train.state import vsr_multistep_adam
+    from mobilesuperresolution_tpu.train.steps import make_vsr_step
+
+    idx = ((8, 8, 3), (8, 7, 5))
+    t, hw, scale = 3, 64, 4  # hw >= 64: the 6-level SpyNet pyramid halves 5x
+    steps_per_epoch, epochs, lr = 3, 4, 1e-3
+    oh = ow = hw * scale
+
+    model = NaiveMultiModel(scale=scale, idx=idx)
+    sample = jnp.zeros((1, t, hw, hw, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(7), sample)
+    mask = spynet_frozen_mask(variables["params"])
+    tx = vsr_multistep_adam(lr, steps_per_epoch, epochs, trainable_mask=mask)
+    state = create_train_state(
+        model, jax.random.key(7), sample, tx, variables=variables
+    )
+    step = make_vsr_step(state, (oh, ow))
+    flow_init = jax.tree.map(np.asarray, state.params["flownet"])
+
+    twin = _TorchNaiveMultiTwin(state.params, idx, scale)
+    opt = torch.optim.Adam(twin.tensors(), lr=lr, betas=(0.9, 0.99))
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[epochs // 2, epochs * 8 // 10], gamma=0.3
+    )
+
+    rng = np.random.default_rng(11)
+    ours, theirs = [], []
+    for _ in range(epochs):
+        for _ in range(steps_per_epoch):
+            lr_clip = rng.random((1, t, hw, hw, 3), np.float32)
+            hr_clip = rng.random((1, t, oh, ow, 3), np.float32)
+            state, metrics = step(
+                state, (jnp.asarray(lr_clip), jnp.asarray(hr_clip))
+            )
+            ours.append(float(metrics["loss"]))
+
+            opt.zero_grad()
+            sr = twin.forward(torch.from_numpy(lr_clip.transpose(0, 1, 4, 2, 3)))
+            diff = sr - torch.from_numpy(hr_clip.transpose(0, 1, 4, 2, 3))
+            loss = torch.sqrt(diff * diff + 1e-12).mean()
+            loss.backward()
+            opt.step()
+            theirs.append(float(loss.detach()))
+        sched.step()
+
+    np.testing.assert_allclose(ours, theirs, rtol=5e-4, atol=1e-6)
+    final = _TorchNaiveMultiTwin(state.params, idx, scale)
+    for got, want in zip(final.tensors(), twin.tensors()):
+        np.testing.assert_allclose(
+            got.detach().numpy(), want.detach().numpy(), rtol=1e-3, atol=5e-5
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        state.params["flownet"],
+        flow_init,
+    )
+
+
+def test_mvvsr_train_lockstep():
+    """12 lockstep steps (4 'epochs' x 3, crossing both milestones) of
+    MotionVectorVSR training (mvvsr_arch.py:11-109): bitstream flows
+    (forward = mv[:, 1:], backward = -forward), recurrent trunks, fusion +
+    ConvTranspose reconstruction. Per-step Charbonnier losses and final
+    weights must match the torch twin. All params train (no SpyNet exists
+    in our MV model)."""
+    from helpers.torch_twins import _TorchMVVSRTwin
+
+    from mobilesuperresolution_tpu.models.mvvsr import MotionVectorVSR
+    from mobilesuperresolution_tpu.train.state import vsr_multistep_adam
+    from mobilesuperresolution_tpu.train.steps import make_vsr_step
+
+    nf, nb, t, hw, scale = 8, 1, 3, 24, 4
+    steps_per_epoch, epochs, lr = 3, 4, 1e-3
+    oh = ow = hw * scale
+
+    model = MotionVectorVSR(scale=scale, num_feat=nf, num_block=nb)
+    sample = jnp.zeros((1, t, hw, hw, 5), jnp.float32)
+    variables = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.key(13), sample, oh, ow
+    )
+    tx = vsr_multistep_adam(lr, steps_per_epoch, epochs)
+    state = create_train_state(
+        model, jax.random.key(13), sample, tx, extra_args=(oh, ow),
+        variables=variables,
+    )
+    step = make_vsr_step(state, (oh, ow))
+
+    twin = _TorchMVVSRTwin(state.params, nf, nb, scale)
+    opt = torch.optim.Adam(twin.tensors(), lr=lr, betas=(0.9, 0.99))
+    sched = torch.optim.lr_scheduler.MultiStepLR(
+        opt, milestones=[epochs // 2, epochs * 8 // 10], gamma=0.3
+    )
+
+    rng = np.random.default_rng(17)
+    ours, theirs = [], []
+    for _ in range(epochs):
+        for _ in range(steps_per_epoch):
+            x = rng.random((1, t, hw, hw, 3), np.float32)
+            mv = ((rng.random((1, t, hw, hw, 2)) - 0.5) * 4).astype(np.float32)
+            lr_clip = np.concatenate([x, mv], axis=-1)
+            hr_clip = rng.random((1, t, oh, ow, 3), np.float32)
+            state, metrics = step(
+                state, (jnp.asarray(lr_clip), jnp.asarray(hr_clip))
+            )
+            ours.append(float(metrics["loss"]))
+
+            opt.zero_grad()
+            sr = twin.forward(
+                torch.from_numpy(lr_clip.transpose(0, 1, 4, 2, 3)), oh, ow
+            )
+            diff = sr - torch.from_numpy(hr_clip.transpose(0, 1, 4, 2, 3))
+            loss = torch.sqrt(diff * diff + 1e-12).mean()
+            loss.backward()
+            opt.step()
+            theirs.append(float(loss.detach()))
+        sched.step()
+
+    np.testing.assert_allclose(ours, theirs, rtol=5e-4, atol=1e-6)
+    final = _TorchMVVSRTwin(state.params, nf, nb, scale)
+    for got, want in zip(final.tensors(), twin.tensors()):
+        np.testing.assert_allclose(
+            got.detach().numpy(), want.detach().numpy(), rtol=1e-3, atol=5e-5
+        )
