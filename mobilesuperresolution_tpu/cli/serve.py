@@ -127,19 +127,32 @@ def main(argv=None):
             )
         )
 
-    if params.flow_cache:
-        if getattr(params, "spatial_shards", 1) > 1:
+    def _spatial_mesh():
+        from mobilesuperresolution_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev % params.spatial_shards:
             raise SystemExit(
-                "--flow_cache and --spatial_shards are not combinable yet "
-                "(the flow cache keys on full-frame pair flows)"
+                f"--spatial_shards {params.spatial_shards} does not divide "
+                f"the {n_dev} available devices"
             )
+        return make_mesh(
+            data=n_dev // params.spatial_shards, spatial=params.spatial_shards
+        )
+
+    if params.flow_cache:
         from mobilesuperresolution_tpu.serve import (
             FlowCachedStreamingVSR,
             make_flow_sr_fns,
         )
 
+        # --spatial_shards composes: cached pair flows feed the
+        # height-sharded window program (make_flow_sr_fns' mesh path)
+        sp = getattr(params, "spatial_shards", 1)
         flow_fn, sr_fn = make_flow_sr_fns(
-            model, {"params": state.params}, params.height, params.width
+            model, {"params": state.params}, params.height, params.width,
+            mesh=_spatial_mesh() if sp > 1 else None,
+            max_disp=params.spatial_max_disp,
         )
         stream = FlowCachedStreamingVSR(
             flow_fn, sr_fn, params.height, params.width,
@@ -152,20 +165,11 @@ def main(argv=None):
         # the single-chip exact ceiling for ONE stream's latency. Output
         # matches single-device streaming to float tolerance
         # (tests/test_serve.py::test_streaming_spatial_shards_matches_plain).
-        from mobilesuperresolution_tpu.parallel import make_mesh
         from mobilesuperresolution_tpu.parallel.vsr_spatial import (
             spatial_basicvsr_forward,
         )
 
-        n_dev = len(jax.devices())
-        if n_dev % params.spatial_shards:
-            raise SystemExit(
-                f"--spatial_shards {params.spatial_shards} does not divide "
-                f"the {n_dev} available devices"
-            )
-        sp_mesh = make_mesh(
-            data=n_dev // params.spatial_shards, spatial=params.spatial_shards
-        )
+        sp_mesh = _spatial_mesh()
         apply_fn = jax.jit(
             lambda x, oh, ow: spatial_basicvsr_forward(
                 model, state.params, x, oh, ow, sp_mesh,

@@ -139,6 +139,7 @@ def spatial_basicvsr_forward(
     mesh,
     axis="spatial",
     max_disp=8,
+    flows=None,
 ):
     """Spatially-sharded forward of a ``models.basicvsr.BasicVSR`` (mobile
     reconstruction). x: (B, T, H, W, C) with H divisible by the mesh's
@@ -187,13 +188,23 @@ def spatial_basicvsr_forward(
     # --- 1. flows: frame-parallel SpyNet (both directions, one batch) ------
     # Staging shared with the plain forward (models/basicvsr.py::
     # compute_flows); the hint shards the 2B(T-1) pair batch over the mesh.
-    spynet = SpyNet(quantized=model.quantized)
-    ff, fb = compute_flows(
-        lambda r, s: spynet.apply({"params": params["spynet"]}, r, s),
-        x,
-        model.flow_downscale,
-        pair_hint=lambda r, s: (_fp_put(r, mesh, axis), _fp_put(s, mesh, axis)),
-    )
+    # ``flows`` optionally supplies precomputed (ff, fb) in the same
+    # time-major (T-1, B, H, W, 2) layout — the flow-reuse serving path
+    # (serve/flow_cache.py composed with --spatial_shards), mirroring
+    # BasicVSRBase._flows' pass-through.
+    if flows is not None:
+        ff, fb = (f.astype(dt) for f in flows)
+    else:
+        spynet = SpyNet(quantized=model.quantized)
+        ff, fb = compute_flows(
+            lambda r, s: spynet.apply({"params": params["spynet"]}, r, s),
+            x,
+            model.flow_downscale,
+            pair_hint=lambda r, s: (
+                _fp_put(r, mesh, axis),
+                _fp_put(s, mesh, axis),
+            ),
+        )
 
     # row-displacement budget: samples must stay inside the halo window
     clip = jnp.asarray(max_disp, ff.dtype)

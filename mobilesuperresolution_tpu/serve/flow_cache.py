@@ -52,7 +52,8 @@ from mobilesuperresolution_tpu.ops.resize import resize_bilinear
 from mobilesuperresolution_tpu.serve.streaming import StreamingVSR
 
 
-def make_flow_sr_fns(model, variables, height, width):
+def make_flow_sr_fns(model, variables, height, width, mesh=None,
+                     max_disp=8, axis="spatial"):
     """Split a BasicVSR-family model into (flow_fn, sr_fn) for flow reuse.
 
     flow_fn(ref, supp): (N, H, W, C) pair frames → (N, H, W, 2) flows at
@@ -62,6 +63,13 @@ def make_flow_sr_fns(model, variables, height, width):
     sr_fn(x, ff, fb): (S, T, H, W, C) window + time-major flow stacks
         (T-1, S, H, W, 2) → (S, T, OH, OW, C), the model forward with SpyNet
         skipped (``flows=`` pass-through).
+
+    mesh: optional — compose flow reuse with multi-chip spatial sharding
+        (``serve --flow_cache --spatial_shards N``): flow_fn shards the pair
+        batch frame-parallel over the mesh and sr_fn runs the height-sharded
+        propagation of ``parallel.vsr_spatial.spatial_basicvsr_forward`` with
+        the cached flows passed through (its flow-dy clip to ``max_disp``
+        still applies).
     """
     params = variables["params"]
     if "spynet" not in params:
@@ -72,12 +80,20 @@ def make_flow_sr_fns(model, variables, height, width):
     spynet = SpyNet(quantized=model.quantized)
     spynet_params = params["spynet"]
     d = model.flow_downscale
+    if mesh is not None:
+        from mobilesuperresolution_tpu.parallel.vsr_spatial import (
+            _fp_put,
+            spatial_basicvsr_forward,
+        )
 
     @jax.jit
     def flow_fn(ref, supp):
         n, h, w, c = ref.shape
         ref = ref.astype(model.compute_dtype)
         supp = supp.astype(model.compute_dtype)
+        if mesh is not None:
+            ref = _fp_put(ref, mesh, axis)
+            supp = _fp_put(supp, mesh, axis)
         fh, fw = flow_downscale_hw(h, w, d)
         if (fh, fw) != (h, w):
             ref = resize_bilinear(ref, (fh, fw), align_corners=False)
@@ -87,6 +103,11 @@ def make_flow_sr_fns(model, variables, height, width):
 
     @partial(jax.jit, static_argnums=(3, 4))
     def sr_fn(x, ff, fb, out_h, out_w):
+        if mesh is not None:
+            return spatial_basicvsr_forward(
+                model, params, x, out_h, out_w, mesh,
+                axis=axis, max_disp=max_disp, flows=(ff, fb),
+            )
         return model.apply(variables, x, out_h, out_w, flows=(ff, fb))
 
     return flow_fn, lambda x, ff, fb: sr_fn(x, ff, fb, height, width)

@@ -185,6 +185,52 @@ def test_streaming_spatial_shards_matches_plain(eight_devices, rng):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
+def test_flow_cached_spatial_shards_matches_plain(eight_devices, rng):
+    """--flow_cache composes with --spatial_shards: cached pair flows feed
+    the height-sharded window program (make_flow_sr_fns' mesh path) and the
+    streamed frames still match plain single-device streaming."""
+    from helpers.meshes import spatial_mesh
+    from mobilesuperresolution_tpu.serve import (
+        FlowCachedStreamingVSR,
+        make_flow_sr_fns,
+    )
+
+    model = BasicVSR(num_feat=8, num_block=1, scale=4)
+    t, h, w = 10, 96, 32  # 96 rows / 8 shards = 12 >= rt(3) + max_disp(8)
+    oh, ow = 4 * h, 4 * w
+    chunk, overlap = 3, 2
+    clip = rng.random((1, t, h, w, 3)).astype(np.float32)
+    variables = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.key(0), clip[:, :chunk + 2 * overlap], oh, ow
+    )
+
+    plain_fn = jax.jit(
+        lambda x, a, b: model.apply(variables, x, a, b), static_argnums=(1, 2)
+    )
+    stream = StreamingVSR(plain_fn, oh, ow, chunk=chunk, overlap=overlap)
+    want = []
+    for i in range(t):
+        want.extend(stream.push(clip[0, i]))
+    want.extend(stream.flush())
+
+    mesh = spatial_mesh(eight_devices, 8)
+    flow_fn, sr_fn = make_flow_sr_fns(
+        model, variables, oh, ow, mesh=mesh, max_disp=8
+    )
+    cached = FlowCachedStreamingVSR(
+        flow_fn, sr_fn, oh, ow, chunk=chunk, overlap=overlap
+    )
+    got = []
+    for i in range(t):
+        got.extend(cached.push(clip[0, i]))
+    got.extend(cached.flush())
+
+    assert len(got) == len(want) == t
+    np.testing.assert_allclose(
+        np.stack(got), np.stack(want), atol=2e-5, rtol=1e-5
+    )
+
+
 def test_serve_cli(tmp_path, rng):
     from PIL import Image
 
