@@ -4,7 +4,7 @@
 # Output size defaults to input x scale; add --input_dir a,b,c for lockstep
 # multi-stream serving (batch <=4 small-frame streams, DESIGN.md "Serving").
 # Add --flow_cache to reuse each SpyNet pair flow across overlapping windows
-# (SpyNet-based models; measured speedup in DESIGN.md "Serving").
+# (SpyNet-based models; measure with scripts/bench_flow_cache.py — see DESIGN.md "Serving").
 set -e
 job_dir=${1:?usage: serve.sh <job_dir> <frames_dir> [--eval_model w.npz ...]}
 frames=${2:?usage: serve.sh <job_dir> <frames_dir> [--eval_model w.npz ...]}

@@ -70,11 +70,12 @@ def add_vsr_args(parser):
     parser.add_argument("--flow_cache", action="store_true",
                         help="With --chunk_frames: compute each SpyNet pair "
                         "flow once and reuse it across overlapping windows "
-                        "(serve/flow_cache.py; measured 1.5x long-clip eval "
-                        "throughput at the NEMO shape). Matches the plain "
-                        "chunked output to float tolerance. SpyNet models "
-                        "(basic/basic_origin) only; not combinable with "
-                        "--chunk_data_parallel.")
+                        "(serve/flow_cache.py; removes the ~38%% of window "
+                        "compute that re-runs SpyNet on shared pairs — "
+                        "measure with scripts/bench_flow_cache.py). Matches "
+                        "the plain chunked output to float tolerance. SpyNet "
+                        "models (basic/basic_origin) only; not combinable "
+                        "with --chunk_data_parallel.")
     parser.add_argument("--spatial_shards", type=int, default=1,
                         help="model_type=basic/basic_origin: shard frame "
                         "HEIGHT over this many devices — recurrent "

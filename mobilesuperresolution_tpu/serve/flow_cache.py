@@ -8,8 +8,9 @@ the two frames of the pair (and the SpyNet weights). With the defaults
 SpyNet on 11 pairs per 4 emitted frames; the steady state only ever needs
 flows for the 4 NEW pairs. SpyNet is ~60% of the exact 1080p x4 pipeline
 (DESIGN.md "The warp-gather floor"), so reusing the other 7 pairs removes
-~38% of the per-window compute — measured 1.52x streaming throughput at the
-NEMO bench shape (DESIGN.md "Serving").
+~38% of the per-window compute (an upper bound of ~1.6x steady-state
+throughput); measure on your chip with scripts/bench_flow_cache.py — the
+repo's measured number, when recorded, lives in DESIGN.md "Serving".
 
 TPU shape discipline: pair flows are computed in fixed-size batches of
 ``chunk`` pairs x 2 directions x S streams (short groups padded by repeating
