@@ -356,7 +356,7 @@ def run_basicvsr(out_dir, epochs, log, torch_twin=False):
     s_bi = float(ssim(base, hr_j, shave=4)) / t
     report = {
         "config": {"num_feat": nf, "num_block": nb, "scale": vscale, "t": t,
-                   "step": 2, "epochs": epochs, "steps": len(curve)},
+                   "hw": hw, "step": 2, "epochs": epochs, "steps": len(curve)},
         "final_loss": curve[-1]["loss"],
         "eval": {"PSNR": p_sr, "SSIM": s_sr,
                  "bilinear_PSNR": p_bi, "bilinear_SSIM": s_bi},

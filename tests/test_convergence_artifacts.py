@@ -128,7 +128,10 @@ class TestPackagedConvergenceArtifacts:
             num_feat=cfg["num_feat"], num_block=cfg["num_block"], scale=cfg["scale"]
         )
         t, vscale = cfg["t"], cfg["scale"]
-        hw = 32
+        # hw recorded since r4 (the script moved 32 -> 64 so the torch twin's
+        # 6-level SpyNet pyramid has a nonzero base level); default matches
+        # the pre-r4 artifact generation
+        hw = cfg.get("hw", 32)
         template = model.init(
             jax.random.key(0),
             jnp.zeros((1, t, hw, hw, 3)),
