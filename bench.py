@@ -59,7 +59,7 @@ def main():
     @jax.jit
     def timed_loop(variables, x):
         def body(_, acc):
-            out = model.apply(variables, x + acc * 1e-12, OH, OW)
+            out = model.apply(variables, x + (acc * 1e-12).astype(x.dtype), OH, OW)
             # reduce over ALL frames so the reconstruction of no frame is
             # dead code the simplifier could slice away (measured: the
             # last-frame-only form was within 0.7% — no DCE occurred — but

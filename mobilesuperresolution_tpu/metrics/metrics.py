@@ -88,20 +88,41 @@ def _filter2_valid(img, kernel1d):
 
 
 def _ssim_map(x, y, kernel1d, k1=0.01, k2=0.03, data_range=1.0, win_size=11):
+    """Float32-stable SSIM map, algebraically identical to the textbook form.
+
+    The naive ``E[x^2] - E[x]^2`` moments cancel catastrophically in float32
+    when sr ~= hr (values ~1, variances ~1e-6): window sums carry ~1e-7 ulp
+    noise that lands directly on the tiny numerator/denominator gap and the
+    mean SSIM can exceed 1 (observed 1.05 at PSNR ~57). Two exact rewrites
+    remove the cancellation:
+
+    - images are centered by a per-image scalar before the second moments
+      (variance/covariance are shift-invariant), so products sit at the
+      fluctuation scale instead of ~1;
+    - the luminance/structure *gaps* are carried by the difference image:
+      ``b1 - a1 = (ux - uy)^2`` and ``b2 - a2 = var(x - y)`` — both computed
+      from ``d = x - y`` directly, so SSIM <= 1 holds by construction (up to
+      one ulp of var(d)'s own arithmetic).
+    """
     NP = win_size * win_size
     cov_norm = NP / (NP - 1)  # sample covariance, matching skimage default
     f = functools.partial(_filter2_valid, kernel1d=kernel1d)
     ux, uy = f(x), f(y)
-    uxx, uyy, uxy = f(x * x), f(y * y), f(x * y)
-    vx = cov_norm * (uxx - ux * ux)
-    vy = cov_norm * (uyy - uy * uy)
-    vxy = cov_norm * (uxy - ux * uy)
+    # center second moments at the joint mean: exact for (co)variances
+    c = 0.5 * (jnp.mean(x) + jnp.mean(y))
+    xc, yc = x - c, y - c
+    vx = cov_norm * (f(xc * xc) - f(xc) * f(xc))
+    vy = cov_norm * (f(yc * yc) - f(yc) * f(yc))
+    # gap terms from the difference image (small where sr ~= hr)
+    d = x - y
+    ud = f(d)  # == ux - uy by linearity
+    vd = cov_norm * (f(d * d) - ud * ud)  # == vx + vy - 2*vxy
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
-    a1 = 2.0 * ux * uy + c1
-    a2 = 2.0 * vxy + c2
     b1 = ux * ux + uy * uy + c1
     b2 = vx + vy + c2
+    a1 = b1 - ud * ud  # == 2*ux*uy + c1
+    a2 = b2 - vd  # == 2*vxy + c2
     return (a1 * a2) / (b1 * b2)
 
 

@@ -67,7 +67,9 @@ def make_flow_sr_fns(model, variables, height, width, mesh=None,
 
     mesh: optional — compose flow reuse with multi-chip spatial sharding
         (``serve --flow_cache --spatial_shards N``): flow_fn shards the pair
-        batch frame-parallel over the mesh and sr_fn runs the height-sharded
+        batch frame-parallel over the mesh — engaging only when the pair
+        batch divides the device count (else the ``axis`` shards, else XLA
+        placement; ``_fp_put``'s ladder) — and sr_fn runs the height-sharded
         propagation of ``parallel.vsr_spatial.spatial_basicvsr_forward`` with
         the cached flows passed through (its flow-dy clip to ``max_disp``
         still applies).

@@ -35,7 +35,7 @@ def time_model_ms(model, x, iters=20, reps=3):
     @jax.jit
     def timed_loop(variables, x):
         def body(_, acc):
-            out = model.apply(variables, x + acc * 1e-12)
+            out = model.apply(variables, x + (acc * 1e-12).astype(x.dtype))
             return jnp.mean(out[:, ::16, ::16, 0]).astype(jnp.float32)
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))

@@ -61,6 +61,23 @@ def test_ssim_bounds(pair):
     assert ssim_np(same, same) > 0.9999
 
 
+def test_ssim_float32_stable_near_identical(rng):
+    """ADVICE r4: the naive E[x^2]-E[x]^2 float32 moments overshot SSIM past
+    1.0 (logged 1.05) on near-identical high-PSNR pairs. The centered /
+    difference-carried rewrite must stay <= 1 and track the float64 golden
+    on exactly that regime: smooth images + ~1e-3 residuals (PSNR ~57)."""
+    base = np.linspace(0, 1, 64)[:, None, None] * np.ones((64, 80, 3))
+    hr = np.clip(base + 0.1 * rng.standard_normal((64, 80, 3)), 0, 1)
+    hr = hr.astype(np.float32)[None]
+    for noise in (0.0014, 0.0):
+        sr = np.clip(hr + noise * rng.standard_normal(hr.shape), 0, 1)
+        sr = sr.astype(np.float32)
+        a = float(ssim(sr, hr))
+        b = ssim_np(sr, hr)
+        assert a <= 1.0 + 1e-6, a
+        assert abs(a - b) < 2e-4, (a, b)
+
+
 class TestIndependentGoldens:
     """Checked-in goldens from tests/golden/make_metric_goldens.py — an
     independent float64 torch implementation following skimage's exact
