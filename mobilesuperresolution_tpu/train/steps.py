@@ -42,6 +42,23 @@ def _guarded_update(params, opt_state, grads, loss, tx):
     return params, opt_state, skipped
 
 
+def sisr_step_body(state_tuple, batch, apply_fn, tx, forward=None):
+    """The un-jitted SISR step body — one (params, opt_state, step) update.
+    Exposed so in-program benchmarks (scripts/bench_train_attribution.py) can
+    iterate the EXACT production step inside one compiled fori_loop."""
+    params, opt_state, step = state_tuple
+    lr_img, hr_img = batch
+
+    def loss_fn(p):
+        apply_closure = lambda xx: apply_fn({"params": p}, xx)
+        sr = apply_closure(lr_img) if forward is None else forward(apply_closure, lr_img)
+        return l1_loss(sr, hr_img)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    params, opt_state, skipped = _guarded_update(params, opt_state, grads, loss, tx)
+    return (params, opt_state, step + 1), {"loss": loss, "l1": loss, "skipped": skipped}
+
+
 def make_sisr_step(state, forward=None):
     """Returns step(state, batch) -> (state, metrics) for BASIC_MODEL
     pretraining (L1 loss, pretrain.py:61-82).
@@ -53,17 +70,7 @@ def make_sisr_step(state, forward=None):
 
     @functools.partial(jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,))
     def _step(state_tuple, batch, apply_fn, tx):
-        params, opt_state, step = state_tuple
-        lr_img, hr_img = batch
-
-        def loss_fn(p):
-            apply_closure = lambda xx: apply_fn({"params": p}, xx)
-            sr = apply_closure(lr_img) if forward is None else forward(apply_closure, lr_img)
-            return l1_loss(sr, hr_img)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        params, opt_state, skipped = _guarded_update(params, opt_state, grads, loss, tx)
-        return (params, opt_state, step + 1), {"loss": loss, "l1": loss, "skipped": skipped}
+        return sisr_step_body(state_tuple, batch, apply_fn, tx, forward=forward)
 
     def step(state, batch):
         tup, metrics = _step(
@@ -72,6 +79,8 @@ def make_sisr_step(state, forward=None):
         params, opt_state, s = tup
         return state.replace(params=params, opt_state=opt_state, step=s), metrics
 
+    # the un-jitted body, for in-program benchmark loops
+    step.body = functools.partial(sisr_step_body, forward=forward)
     return step
 
 
@@ -81,10 +90,7 @@ def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1, spee
     SpeedScheduler, passed per call. ``speed_table`` optionally switches the
     latency model to on-TPU measurements (closed over; replicated constant)."""
 
-    @functools.partial(
-        jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,)
-    )
-    def _step(state_tuple, batch, speed_target, apply_fn, tx):
+    def _body(state_tuple, batch, speed_target, apply_fn, tx):
         params, opt_state, step = state_tuple
         lr_img, hr_img = batch
 
@@ -108,6 +114,10 @@ def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1, spee
             "skipped": skipped,
         }
 
+    _step = functools.partial(
+        jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,)
+    )(_body)
+
     def step(state, batch, speed_target):
         tup, metrics = _step(
             (state.params, state.opt_state, state.step),
@@ -119,6 +129,8 @@ def make_search_step(state, speed_loss, weight_sr_l1=1.0, weight_speed=0.1, spee
         params, opt_state, s = tup
         return state.replace(params=params, opt_state=opt_state, step=s), metrics
 
+    # the un-jitted body, for in-program benchmark loops
+    step.body = _body
     return step
 
 
@@ -132,10 +144,7 @@ def make_vsr_step(state, out_hw, forward=None):
     forward spatially without duplicating the step."""
     oh, ow = out_hw
 
-    @functools.partial(
-        jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,)
-    )
-    def _step(state_tuple, batch, apply_fn, tx):
+    def _body(state_tuple, batch, apply_fn, tx):
         params, opt_state, step = state_tuple
         lr_clip, hr_clip = batch
 
@@ -152,6 +161,10 @@ def make_vsr_step(state, out_hw, forward=None):
         )
         return (params, opt_state, step + 1), {"loss": loss, "skipped": skipped}
 
+    _step = functools.partial(
+        jax.jit, static_argnames=("apply_fn", "tx"), donate_argnums=(0,)
+    )(_body)
+
     def step(state, batch):
         tup, metrics = _step(
             (state.params, state.opt_state, state.step), batch, state.apply_fn, state.tx
@@ -159,4 +172,6 @@ def make_vsr_step(state, out_hw, forward=None):
         params, opt_state, s = tup
         return state.replace(params=params, opt_state=opt_state, step=s), metrics
 
+    # the un-jitted body, for in-program benchmark loops
+    step.body = _body
     return step
