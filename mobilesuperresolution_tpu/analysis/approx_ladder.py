@@ -30,13 +30,22 @@ import jax
 import jax.numpy as jnp
 
 
-def make_translating_video(seed, t, h, w, scale=4, dy=2, dx=3):
+def make_translating_video(seed, t, h, w, scale=4, dy=2, dx=3, lr_noise=0.0):
     """Deterministic natural-ish video with rigid global translation.
 
     Returns (lr, hr): hr (1, T, H*scale, W*scale, 3) float32 in [0,1] crops
     of one textured canvas sliding by (dy, dx) HR pixels per frame; lr is the
     MATLAB-exact bicubic downscale of each frame (the training degradation,
-    data/imresize.py)."""
+    data/imresize.py).
+
+    lr_noise > 0 adds independent per-frame Gaussian noise (std, in [0,1]
+    units) to the LR frames ONLY. This makes temporal fusion *necessary*:
+    on the clean clip a converged deployment-depth model learns the
+    degenerate single-frame solution (zero flows, ignored carry — observed:
+    every flow/chunk approximation became bit-identical to exact), so the
+    ladder had nothing to measure; with per-frame noise, averaging
+    information across aligned frames is the only way to denoise, so the
+    flow/chunk approximations carry real quality deltas."""
     from mobilesuperresolution_tpu.data.native_imresize import imresize_u8
 
     rng = np.random.default_rng(seed)
@@ -66,14 +75,83 @@ def make_translating_video(seed, t, h, w, scale=4, dy=2, dx=3):
         lrs.append(imresize_u8(frame, scalar_scale=1.0 / scale))
     hr = np.stack(hrs)[None].astype(np.float32) / 255.0
     lr = np.stack(lrs)[None].astype(np.float32) / 255.0
+    if lr_noise > 0:
+        noise_rng = np.random.default_rng(seed + 1)
+        lr = np.clip(
+            lr + lr_noise * noise_rng.standard_normal(lr.shape).astype(np.float32),
+            0.0,
+            1.0,
+        )
     return lr, hr
 
 
+def pretrain_spynet_photometric(spy_params, lr, steps=400, lr_rate=1e-4,
+                                seed=0):
+    """Photometric SpyNet pretraining on the clip's own consecutive LR pairs:
+    minimize ||flow_warp(supp, spynet(ref, supp)) − ref||². Stands in for the
+    reference's PRETRAINED SpyNet (its .pth files are LFS-stripped from this
+    environment): the reference never trains VSR with a from-scratch SpyNet —
+    SpyNet arrives pretrained and is FROZEN
+    (train_video_superresolution.py:160-163). Training everything from
+    scratch instead lets the trunk fall into the single-frame local optimum
+    (misaligned early warps make the carry harmful, its weights are
+    suppressed, and the converged model ignores temporal information
+    entirely — observed on the deployment ladder: every flow/chunk
+    approximation measured bit-identical to exact). Returns trained SpyNet
+    params."""
+    import optax
+
+    from mobilesuperresolution_tpu.models.spynet import SpyNet, upsample_flow
+    from mobilesuperresolution_tpu.ops.warp import flow_warp
+
+    spynet = SpyNet()
+    t, h, w = lr.shape[1:4]
+    # all consecutive pairs, both directions, one batch
+    frames = jnp.asarray(lr[0])  # (T, H, W, 3)
+    ref = jnp.concatenate([frames[:-1], frames[1:]], axis=0)
+    supp = jnp.concatenate([frames[1:], frames[:-1]], axis=0)
+
+    tx = optax.adam(lr_rate)
+    opt = tx.init(spy_params)
+
+    @jax.jit
+    def step(sp, opt, ref, supp):
+        def loss_fn(spp):
+            fl = upsample_flow(spynet.apply({"params": spp}, ref, supp), h, w)
+            return jnp.mean((flow_warp(supp, fl) - ref) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(sp)
+        updates, opt = tx.update(grads, opt, sp)
+        return optax.apply_updates(sp, updates), opt, loss
+
+    # NOTE a one-clip photometric stand-in does NOT satisfy the "identical
+    # frames → zero flow" contract a generally-trained SpyNet does (on
+    # (near-)periodic texture any self-mapping flow is photometrically
+    # optimal, so the net keeps its constant-motion prior on identical
+    # pairs). The chunked-eval path replicate-pads clip edges with
+    # identical frames, so with this stand-in the EDGE windows feed
+    # misaligned carries that a carry-trusting single-clip trunk amplifies
+    # (measured: clip-edge frames at −7 dB agreement, ±18 output range at
+    # overlap=8, while interior frames improved monotonically
+    # 32→36→40→50 dB with overlap — see DESIGN.md). An identical-pair
+    # zero-flow L2 term was tried and made the flows WORSE at non-native
+    # scales (flow_downscale agreement fell below 0 dB); kept photometric-
+    # only, with the edge caveat documented where the numbers are used.
+    for _ in range(steps):
+        spy_params, opt, loss = step(spy_params, opt, ref, supp)
+    return spy_params
+
+
 def train_tiny_origin(lr, hr, steps=150, num_feat=8, num_block=1, scale=4,
-                      t_train=4, seed=0, model_cls=None):
+                      t_train=4, seed=0, model_cls=None,
+                      pretrain_flow_steps=0):
     """Train a small recurrent VSR model (default BasicVSR_origin; pass
     ``model_cls=BasicVSR`` for the mobile deployment config) on random
-    temporal windows of the clip. Returns (model, params)."""
+    temporal windows of the clip. Returns (model, params).
+
+    pretrain_flow_steps > 0 first trains SpyNet photometrically on the clip
+    and FREEZES it for the main phase (optax mask + stop_flow_grad) — the
+    reference's production convention; see pretrain_spynet_photometric."""
     from mobilesuperresolution_tpu.models.basicvsr import BasicVSROrigin
     from mobilesuperresolution_tpu.train.state import (
         create_train_state,
@@ -85,16 +163,32 @@ def train_tiny_origin(lr, hr, steps=150, num_feat=8, num_block=1, scale=4,
         model_cls = BasicVSROrigin
     t, h, w = lr.shape[1:4]
     oh, ow = hr.shape[2], hr.shape[3]
-    model = model_cls(num_feat=num_feat, num_block=num_block, scale=scale)
+    freeze_flow = pretrain_flow_steps > 0
+    model = model_cls(num_feat=num_feat, num_block=num_block, scale=scale,
+                      stop_flow_grad=freeze_flow)
+    sample = jnp.zeros((1, t_train, h, w, 3))
+    variables = jax.jit(model.init, static_argnums=(2, 3))(
+        jax.random.key(seed), sample, oh, ow
+    )
+    params = dict(variables["params"])
+    trainable_mask = None
+    if freeze_flow:
+        from mobilesuperresolution_tpu.cli.train_vsr import spynet_frozen_mask
+
+        params["spynet"] = pretrain_spynet_photometric(
+            params["spynet"], lr, steps=pretrain_flow_steps, seed=seed
+        )
+        trainable_mask = spynet_frozen_mask(params)
     state = create_train_state(
         model,
         jax.random.key(seed),
-        jnp.zeros((1, t_train, h, w, 3)),
+        sample,
         multistep_adam(1e-3, steps_per_epoch=max(steps, 1), epochs=1,
-                       milestones=[]),  # constant LR: epochs=1 default
+                       milestones=[], trainable_mask=trainable_mask),
         # milestones are [0, 0], which (torch-exactly) would decay to
         # 0.09e-3 from step 0 — the ladder wants plain 1e-3 throughout
         extra_args=(oh, ow),
+        variables={"params": params},
     )
     step = make_vsr_step(state, (oh, ow))
     rng = np.random.default_rng(seed)
@@ -124,6 +218,9 @@ def run_ladder(
     overlaps=(0, 2, 4, 8),
     seed=0,
     model_cls=None,
+    t_train=4,
+    lr_noise=0.0,
+    pretrain_flow_steps=0,
 ):
     """Returns {"exact_psnr": float,
                 "flow_downscale": {d: {"agreement": ..., "delta": ...}},
@@ -139,10 +236,11 @@ def run_ladder(
 
     if model_cls is None:
         model_cls = BasicVSROrigin
-    lr, hr = make_translating_video(seed, t_eval, h, w, scale)
+    lr, hr = make_translating_video(seed, t_eval, h, w, scale, lr_noise=lr_noise)
     model, params = train_tiny_origin(
         lr, hr, steps=train_steps, num_feat=num_feat, num_block=num_block,
-        scale=scale, seed=seed, model_cls=model_cls,
+        scale=scale, seed=seed, model_cls=model_cls, t_train=t_train,
+        pretrain_flow_steps=pretrain_flow_steps,
     )
     oh, ow = hr.shape[2], hr.shape[3]
 
@@ -171,11 +269,29 @@ def run_ladder(
         approx = np.asarray(
             chunked_vsr_apply(exact_fwd, jnp.asarray(lr), oh, ow, chunk=chunk, overlap=ov)
         )
-        out["chunk_overlap"][ov] = {
+        # interior frames: those whose window contains NO replicate-padded
+        # context (window start s = floor(f/chunk)*chunk pure iff
+        # s-ov >= 0 and s+chunk+ov <= T). Reported separately because the
+        # edge windows depend on the flow net's identical-frame behavior
+        # (see pretrain_spynet_photometric's note), the interior ones
+        # don't.
+        t_frames = approx.shape[1]
+        interior = [
+            f
+            for f in range(t_frames)
+            if (f // chunk) * chunk - ov >= 0
+            and (f // chunk) * chunk + chunk + ov <= t_frames
+        ]
+        entry = {
             "agreement": _psnr(approx, exact),
             "psnr": _psnr(approx, hr),
             "delta": _psnr(approx, hr) - out["exact_psnr"],
         }
+        if interior and len(interior) < t_frames:
+            entry["interior_agreement"] = _psnr(
+                approx[:, interior], exact[:, interior]
+            )
+        out["chunk_overlap"][ov] = entry
 
     # int8 dynamic-range convs (ops/quant.py, --quantize int8): same float
     # params, quantization happens in-graph
@@ -203,8 +319,13 @@ def format_table(res):
             f"| flow_downscale={d} | {r['agreement']:.1f} | {r['delta']:+.3f} |"
         )
     for ov, r in sorted(res["chunk_overlap"].items()):
+        inner = (
+            f" (interior {r['interior_agreement']:.1f})"
+            if "interior_agreement" in r
+            else ""
+        )
         lines.append(
-            f"| chunk_overlap={ov} | {r['agreement']:.1f} | {r['delta']:+.3f} |"
+            f"| chunk_overlap={ov} | {r['agreement']:.1f}{inner} | {r['delta']:+.3f} |"
         )
     if "quantize_int8" in res:
         r = res["quantize_int8"]
@@ -231,8 +352,27 @@ def main():
     else:
         from mobilesuperresolution_tpu.models.basicvsr import BasicVSR
 
-        res = run_ladder(train_steps=500, num_feat=24, num_block=8,
-                         t_eval=24, h=40, w=40, model_cls=BasicVSR)
+        # deployment depth needs real training pressure: t_train=10 (the
+        # reference's canonical clip length) so the recurrence is trained at
+        # the horizon it is evaluated over — a 500-step/t=4 model
+        # accumulates recurrent error over the T=24 eval clip and the
+        # ladder's deltas invert (chunking then *helps* by resetting state;
+        # observed 2026-08-21, first deployment-config run). And the task
+        # must REQUIRE temporal fusion (lr_noise — see
+        # make_translating_video): on the clean clip the converged model
+        # learns the single-frame solution and every flow/chunk
+        # approximation measures bit-identical to exact (observed, second
+        # run).
+        # ... and the flows must be GOOD before the trunk trains
+        # (pretrain_flow_steps — photometric SpyNet pretraining, then
+        # frozen, the reference's production convention): with a
+        # from-scratch SpyNet the trunk suppresses the misaligned carry
+        # and converges single-frame (observed, third run — still
+        # bit-identical under every approximation).
+        res = run_ladder(train_steps=3000, num_feat=24, num_block=8,
+                         t_eval=24, h=40, w=40, model_cls=BasicVSR,
+                         t_train=10, lr_noise=0.05,
+                         pretrain_flow_steps=600)
     print(format_table(res))
 
 
